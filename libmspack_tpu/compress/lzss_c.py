@@ -112,7 +112,7 @@ def szdd_compress(data: bytes, missing_char: int = 0) -> bytes:
 def kwaj_compress(data: bytes, method: int = 2, filename: str | None = None,
                   include_length: bool = True) -> bytes:
     """Produce a complete KWAJ file using method 0 (none), 1 (xor),
-    or 2 (SZDD-LZSS, QBASIC window offsets)."""
+    2 (SZDD-LZSS, QBASIC window offsets), or 4 (MSZIP)."""
     flags = 0
     opt = b""
     if include_length:
@@ -137,6 +137,9 @@ def kwaj_compress(data: bytes, method: int = 2, filename: str | None = None,
         body = bytes(b ^ 0xFF for b in data)
     elif method == 2:
         body = compress(data, MODE_QBASIC)
+    elif method == 4:
+        from . import mszip_c
+        body = mszip_c.compress_kwaj(data)
     else:
-        raise ValueError("kwaj_compress supports methods 0-2")
+        raise ValueError("kwaj_compress supports methods 0-2 and 4")
     return header + body

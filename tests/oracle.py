@@ -28,7 +28,9 @@ def build_oracle() -> str:
     srcs = [os.path.join(REF_MSPACK, f) for f in os.listdir(REF_MSPACK)
             if f.endswith(".c") and f != "debug.c"]
     srcs.append(os.path.join(REPO, "tests", "oracle_shim.c"))
+    # 64-bit off_t build (distro default): large files + 9-byte ENCINTs
     cmd = ["gcc", "-O2", "-fPIC", "-shared", "-I", REF_MSPACK,
+           "-DSIZEOF_OFF_T=8", "-D_FILE_OFFSET_BITS=64",
            "-o", ORACLE_SO] + srcs
     subprocess.run(cmd, check=True, capture_output=True)
     return ORACLE_SO

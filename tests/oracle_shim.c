@@ -53,8 +53,8 @@ int oracle_cab_list(const char *cabfile, const char *listfile) {
     if (!cab) { err = d->last_error(d); mspack_destroy_cab_decompressor(d); return err; }
     fh = fopen(listfile, "w");
     for (f = cab->files; f; f = f->next) {
-        fprintf(fh, "%u\t%d\t%u\t%d\t%s\n", f->length,
-                0, f->offset, f->folder ? f->folder->comp_type : -1, f->filename);
+        fprintf(fh, "%lld\t%d\t%lld\t%d\t%s\n", (long long) f->length,
+                0, (long long) f->offset, f->folder ? f->folder->comp_type : -1, f->filename);
     }
     fclose(fh);
     d->close(d, cab);
@@ -140,7 +140,7 @@ int oracle_chm_list(const char *chmfile, const char *listfile) {
     if (!chm) { err = d->last_error(d); mspack_destroy_chm_decompressor(d); return err; }
     fh = fopen(listfile, "w");
     for (f = chm->files; f; f = f->next) {
-        fprintf(fh, "%u\t%u\t%d\t%s\n", (unsigned)f->length, (unsigned)f->offset,
+        fprintf(fh, "%lld\t%lld\t%d\t%s\n", (long long)f->length, (long long)f->offset,
                 f->section ? (int)f->section->id : -1, f->filename);
     }
     fclose(fh);

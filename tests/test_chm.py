@@ -1,0 +1,76 @@
+"""CHM driver vs the reference oracle on the CVE/encint corpus."""
+import glob
+import os
+
+import pytest
+
+import oracle
+from libmspack_tpu import errors
+from libmspack_tpu.formats.chm import ChmDecompressor
+from libmspack_tpu.system import BytesSink
+
+CHMD = os.path.join(oracle.REF_TEST_FILES, "chmd")
+
+
+def _load(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if path.endswith(".xor"):
+        data = bytes(b ^ 0xFF for b in data)
+    return data
+
+
+def _our_outcome(data: bytes):
+    d = ChmDecompressor()
+    try:
+        chm = d.open(data)
+    except errors.MSPackError as e:
+        return int(e.code), None, None
+    listing = [(f.length, f.offset, f.section.id, f.filename)
+               for f in chm.files]
+    outs = []
+    err = 0
+    for f in chm.files:
+        s = BytesSink()
+        try:
+            d.extract(f, s)
+            outs.append(s.getvalue())
+        except errors.MSPackError as e:
+            if not err:
+                err = int(e.code)
+            outs.append(None)
+    return err, listing, outs
+
+
+@pytest.mark.parametrize("path", sorted(
+    glob.glob(os.path.join(CHMD, "*.chm"))
+    + glob.glob(os.path.join(CHMD, "*.chm.xor"))))
+def test_chm_corpus_matches_oracle(path):
+    data = _load(path)
+    # oracle works on real files; write the un-xored bytes to tmp
+    import tempfile
+    fd, tmp = tempfile.mkstemp(suffix=".chm")
+    os.write(fd, data)
+    os.close(fd)
+    try:
+        ref_open_err, ref_list = oracle.chm_list(tmp)
+        ref_ext_err, ref_outs = oracle.chm_extract_all(tmp)
+    finally:
+        os.unlink(tmp)
+
+    our_err, our_list, our_outs = _our_outcome(data)
+
+    if ref_open_err:
+        assert our_err != 0, f"{path}: oracle rejected ({ref_open_err}), we accepted"
+        return
+    assert our_list is not None, f"{path}: oracle accepted, we rejected ({our_err})"
+    # the C shim prints filenames as C strings: embedded NULs truncate
+    assert [(l, o, n.split("\x00")[0]) for (l, o, _, n) in our_list] == \
+        [(l, o, n) for (l, o, _, n) in ref_list], path
+    # extraction outcomes: every file the oracle extracts cleanly must
+    # match; files it fails on must fail for us too
+    if ref_ext_err == 0 and our_err == 0:
+        assert our_outs == ref_outs, path
+    else:
+        assert (ref_ext_err != 0) == (our_err != 0), \
+            f"{path}: ours={our_err} ref={ref_ext_err}"
