@@ -32,7 +32,14 @@ class SzddHeader:
 
 
 class SzddDecompressor:
-    """Pythonic equivalent of msszdd_decompressor (mspack.h:1792-1965)."""
+    """Pythonic equivalent of msszdd_decompressor (mspack.h:1792-1965).
+
+    engine: "scalar" (host reference) or "jax" (two-phase TPU decode,
+    ops/lzss_jax.py). Both are bit-exact.
+    """
+
+    def __init__(self, engine: str = "scalar"):
+        self.engine = engine
 
     def open(self, path: PathOrBytes) -> "SzddFile":
         src = open_source(path)
@@ -49,7 +56,7 @@ class SzddDecompressor:
                              int.from_bytes(rest, "little"), 12)
         else:
             raise SignatureError("not an SZDD file")
-        return SzddFile(src, hdr)
+        return SzddFile(src, hdr, self.engine)
 
     def extract(self, file: "SzddFile", output) -> None:
         file.extract(output)
@@ -64,9 +71,10 @@ class SzddDecompressor:
 
 
 class SzddFile:
-    def __init__(self, src, header: SzddHeader):
+    def __init__(self, src, header: SzddHeader, engine: str = "scalar"):
         self.source = src
         self.header = header
+        self.engine = engine
 
     @property
     def length(self) -> int:
@@ -81,7 +89,11 @@ class SzddFile:
         data = self.source.read(-1)
         mode = lzss.MODE_EXPAND if self.header.format == FMT_NORMAL \
             else lzss.MODE_QBASIC
-        out = lzss.decompress(data, mode)
+        if self.engine == "jax":
+            from ..ops import lzss_jax
+            out = lzss_jax.decompress(data, mode)
+        else:
+            out = lzss.decompress(data, mode)
         sink = output if isinstance(output, Sink) else FileSink(output)
         try:
             sink.write(out)
