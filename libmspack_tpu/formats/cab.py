@@ -195,13 +195,16 @@ class _DecompState:
 class CabDecompressor:
     """Pythonic equivalent of mscab_decompressor (mspack.h:957-1180)."""
 
-    def __init__(self, message: Callable[[str], None] | None = None):
+    def __init__(self, message: Callable[[str], None] | None = None,
+                 engine: str = "scalar"):
         self.searchbuf_size = 32768
         self.fix_mszip = False
         self.buf_size = 4096
         self.salvage = False
         self.message = message or (lambda s: None)
+        self.engine = engine
         self._d: Optional[_DecompState] = None
+        self._folder_cache: tuple | None = None  # (folder, bytes)
         self.last_error = 0
 
     # -- parameters ------------------------------------------------------
@@ -585,6 +588,23 @@ class CabDecompressor:
                              "cabinet set is incomplete" % file.filename)
                 raise DecrunchError("file beyond folder data")
 
+        # device fast path: decode the whole folder once on TPU, then
+        # serve every file of the folder from the cached bytes
+        if (self.engine == "jax" and not self.salvage and not self.fix_mszip
+                and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_MSZIP):
+            folder_bytes = self._folder_bytes_fast(fol)
+            if folder_bytes is not None:
+                sink = output if isinstance(output, Sink) else FileSink(output)
+                try:
+                    if file.offset + filelen > len(folder_bytes):
+                        raise DecrunchError("file beyond decoded folder")
+                    sink.write(folder_bytes[file.offset :
+                                            file.offset + filelen])
+                    return
+                finally:
+                    if sink is not output and hasattr(sink, "close"):
+                        sink.close()
+
         d = self._d
         if (d is None or d.folder is not fol or d.offset > file.offset
                 or d.decomp is None):
@@ -607,6 +627,47 @@ class CabDecompressor:
             d.outsink = None
             if sink is not output and hasattr(sink, "close"):
                 sink.close()
+
+    def _folder_bytes_fast(self, fol: CabFolder) -> bytes | None:
+        """Decode an entire MSZIP folder via the batched speculative
+        device inflater (ops/inflate_jax.py). Returns None when the
+        fast path cannot reproduce reference semantics (then the
+        scalar path runs instead)."""
+        if self._folder_cache is not None and self._folder_cache[0] is fol:
+            return self._folder_cache[1]
+        try:
+            from ..ops.inflate_jax import inflate_folder
+        except Exception:
+            return None
+        # collect all CFDATA blocks with full checksum/limit validation
+        d = _DecompState()
+        d.folder = fol
+        d.comp_type = fol.comp_type
+        d.incab = fol.data[0].cab
+        try:
+            d.insrc = fol.data[0].cab.open_stream()
+            d.insrc.seek(fol.data[0].offset)
+        except MSPackError:
+            return None
+        frames = []
+        sizes = []
+        try:
+            for _ in range(fol.num_blocks):
+                prev = d.outlen
+                self._read_block(d)
+                frames.append(d.inbuf)
+                sizes.append(d.outlen - prev)
+        except MSPackError:
+            return None  # scalar path will surface the exact error
+        # every frame must start with the CK signature for the fast path
+        # (the scalar path handles realign-scanning of damaged streams)
+        if any(f[:2] != b"CK" for f in frames):
+            return None
+        out = inflate_folder([f[2:] for f in frames], sizes)
+        if out is None:
+            return None
+        self._folder_cache = (fol, out)
+        return out
 
     def _init_folder_state(self, fol: CabFolder) -> _DecompState:
         d = _DecompState()

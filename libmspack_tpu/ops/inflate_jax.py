@@ -1,0 +1,528 @@
+"""Batched speculative inflate — TPU-native DEFLATE/MSZIP decoder.
+
+The scalar decoder (codecs/mszip.py <- reference mszipd.c) advances one
+bit cursor through one stream. TPUs have no fast scalar path, but 1D
+gathers run at ~200 GB/s — so we invert the problem (SURVEY.md §7,
+rapidgzip-style speculation, exact here because frame starts are known):
+
+Phase A, per deflate block, fully vectorized:
+  1. host parses the tiny block header (fixed/dynamic code lengths) and
+     builds 15-bit flat decode LUTs (numpy);
+  2. the device evaluates THE WHOLE DECODE STEP AT EVERY BIT POSITION
+     of the stream at once: literal/length symbol, length extra bits,
+     distance symbol, distance extra bits -> (next_position, kind,
+     byte/length/distance) arrays;
+  3. the true symbol chain is the orbit of the block's start position
+     under next_position: link it with jump-table pointer doubling and
+     rank decomposition (log2 rounds of 1D gathers);
+  4. gathering the per-position fields at the chain positions yields
+     the ordered token stream.
+
+Phase B: tokens from all frames of a folder become per-byte source
+pointers (MSZIP history crosses frame boundaries through the 32 KiB
+window) and resolve with ops.match_resolve in log2 rounds.
+
+Any stream the fast path can't prove it decoded exactly (stored blocks,
+invalid symbols on the true chain, length overruns) is reported for
+scalar fallback — the scalar codec then reproduces the reference's
+exact error/repair semantics.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.mszip import (BITLEN_ORDER, DIST_EXTRABITS, DIST_OFFSETS,
+                            FIXED_DISTANCE_LENS, FIXED_LITERAL_LENS,
+                            LIT_EXTRABITS, LIT_LENGTHS)
+
+FRAME_SIZE = 32768
+MAX_TOKENS = FRAME_SIZE + 8   # >= one output byte per token, plus EOB slack
+
+# stream-size buckets (bytes): every frame is padded up to a bucket so
+# _phase_a compiles once per bucket, not once per input shape. 40960
+# covers the largest legal CAB MSZIP block (32768 + 12 growth).
+S_BUCKETS = (1024, 40960)
+B_BUCKETS = (1, 4, 16, 64)
+
+# a minimal valid deflate stream (fixed-huffman, empty) used to pad
+# batches up to a bucket size
+_EMPTY_STREAM = b"\x03\x00"
+
+_LIT_BASE = np.asarray(LIT_LENGTHS, np.int32)
+_LIT_EXTRA = np.asarray(LIT_EXTRABITS, np.int32)
+_DIST_BASE = np.asarray(DIST_OFFSETS, np.int32)
+_DIST_EXTRA = np.asarray(DIST_EXTRABITS, np.int32)
+
+
+class NeedFallback(Exception):
+    """Raised when a stream needs the scalar decoder."""
+
+
+# ---------------------------------------------------------------------------
+# host side: header parsing + LUT construction
+# ---------------------------------------------------------------------------
+
+class _HostBits:
+    """Minimal LSB bit reader over a bytes object for header parsing."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        if n == 0:
+            return 0
+        byte = p >> 3
+        chunk = self.data[byte : byte + 4]
+        if len(chunk) < 4:
+            chunk = chunk + b"\x00" * (4 - len(chunk))
+            if byte >= len(self.data) + 2:
+                raise NeedFallback("header ran past stream end")
+        word = int.from_bytes(chunk, "little")
+        self.pos = p + n
+        return (word >> (p & 7)) & ((1 << n) - 1)
+
+
+_BITREV = {}
+
+
+def _bitrev_arr(nbits):
+    if nbits not in _BITREV:
+        n = 1 << nbits
+        v = np.arange(n, dtype=np.uint32)
+        r = np.zeros(n, dtype=np.uint32)
+        for _ in range(nbits):
+            r = (r << 1) | (v & 1)
+            v >>= 1
+        _BITREV[nbits] = r
+    return _BITREV[nbits]
+
+
+def _canonical_codes(lens: np.ndarray):
+    """RFC1951 canonical code assignment; returns codes (same shape)."""
+    maxb = 15
+    bl_count = np.bincount(lens, minlength=maxb + 1)
+    bl_count[0] = 0
+    next_code = np.zeros(maxb + 2, np.int64)
+    code = 0
+    for b in range(1, maxb + 1):
+        code = (code + int(bl_count[b - 1])) << 1
+        next_code[b] = code
+    codes = np.zeros(len(lens), np.int64)
+    for sym in range(len(lens)):
+        L = lens[sym]
+        if L:
+            codes[sym] = next_code[L]
+            next_code[L] += 1
+    return codes
+
+
+def _build_lut15(lens: np.ndarray) -> np.ndarray:
+    """15-bit LSB-indexed LUT: entry = (codelen << 16) | sym, -1 invalid.
+
+    An over-subscribed code is a NeedFallback (the scalar path will
+    produce the reference's exact error)."""
+    lens = np.asarray(lens, np.int64)
+    kraft = np.sum((lens > 0) * (1 << (15 - np.maximum(lens, 1))))
+    if kraft > (1 << 15):
+        raise NeedFallback("over-subscribed huffman code")
+    codes = _canonical_codes(lens)
+    lut = np.full(1 << 15, -1, np.int32)
+    rev15 = _bitrev_arr(15)
+    for sym in range(len(lens)):
+        L = int(lens[sym])
+        if L == 0:
+            continue
+        # low L bits of the peeked value = bit-reversed code
+        base = int(_bitrev_arr(L)[codes[sym]]) if L else 0
+        lut[base :: 1 << L] = (L << 16) | sym
+    return lut
+
+
+def _parse_block_header(stream: bytes, bitpos: int):
+    """Parse one deflate block header. Returns
+    (last_block, kind, lit_lut, dist_lut, data_bitpos) for huffman
+    blocks, or (last_block, 'stored', payload_range, next_bitpos)."""
+    bits = _HostBits(stream, bitpos)
+    last = bits.read(1)
+    btype = bits.read(2)
+    if btype == 0:
+        # stored: align, 4 bytes len/nlen, raw payload
+        pos = (bits.pos + 7) & ~7
+        byte = pos >> 3
+        if byte + 4 > len(stream):
+            raise NeedFallback("truncated stored block")
+        length = stream[byte] | (stream[byte + 1] << 8)
+        comp = stream[byte + 2] | (stream[byte + 3] << 8)
+        if length != (~comp & 0xFFFF):
+            raise NeedFallback("stored length complement mismatch")
+        start = byte + 4
+        if start + length > len(stream):
+            raise NeedFallback("truncated stored payload")
+        return (last, "stored", (start, length), (start + length) * 8)
+    if btype == 1:
+        lit_lens = np.frombuffer(FIXED_LITERAL_LENS, np.uint8).astype(np.int64)
+        dist_lens = np.frombuffer(FIXED_DISTANCE_LENS, np.uint8).astype(np.int64)
+        return (last, "huff", _build_lut15(lit_lens), _build_lut15(dist_lens),
+                bits.pos)
+    if btype != 2:
+        raise NeedFallback("bad block type")
+
+    lit_codes = bits.read(5) + 257
+    dist_codes = bits.read(5) + 1
+    bitlen_codes = bits.read(4) + 4
+    if lit_codes > 288 or dist_codes > 32:
+        raise NeedFallback("too many symbols")
+    bl_len = np.zeros(19, np.int64)
+    for i in range(bitlen_codes):
+        bl_len[BITLEN_ORDER[i]] = bits.read(3)
+    bl_lut = _build_lut15(bl_len)
+
+    total = lit_codes + dist_codes
+    lens = np.zeros(total, np.int64)
+    last_code = 0
+    i = 0
+    while i < total:
+        e = int(bl_lut[bits.read(7) & 0x7F])
+        if e < 0:
+            raise NeedFallback("bad bitlen symbol")
+        # we read 7 bits but the code is shorter: rewind the difference
+        clen, code = e >> 16, e & 0xFFFF
+        bits.pos -= 7 - clen
+        if code < 16:
+            lens[i] = last_code = code
+            i += 1
+            continue
+        if code == 16:
+            run, fill = bits.read(2) + 3, last_code
+        elif code == 17:
+            run, fill = bits.read(3) + 3, 0
+        else:
+            run, fill = bits.read(7) + 11, 0
+        if i + run > total:
+            raise NeedFallback("bitlen RLE overrun")
+        lens[i : i + run] = fill
+        i += run
+    return (last, "huff", _build_lut15(lens[:lit_codes]),
+            _build_lut15(lens[lit_codes:]), bits.pos)
+
+
+# ---------------------------------------------------------------------------
+# device side: speculative decode of one batch of huffman block bodies
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("P", "R", "S"))
+def _phase_a(data: jnp.ndarray, start_bits: jnp.ndarray,
+             lit_lut: jnp.ndarray, dist_lut: jnp.ndarray,
+             P: int, R: int, S: int):
+    """Speculative decode of B huffman block bodies.
+
+    data: (B*S,) uint8 padded streams; start_bits: (B,) int32;
+    lit_lut/dist_lut: (B, 32768) int32.
+    Returns per-rank token arrays (B, R): kind(0 lit/1 match/2 end),
+    outlen, dist, lit; plus (B,) end bit positions and chain-invalid flags.
+    """
+    B = start_bits.shape[0]
+    NP = B * P
+
+    blk = jnp.arange(NP, dtype=jnp.int32) // P
+    p = jnp.arange(NP, dtype=jnp.int32) % P
+
+    base_byte = blk * S
+
+    def peek(bitpos, nbits):
+        byte = base_byte + (bitpos >> 3)
+        sh = (bitpos & 7).astype(jnp.uint32)
+        w = (jnp.take(data, byte).astype(jnp.uint32)
+             | (jnp.take(data, byte + 1).astype(jnp.uint32) << 8)
+             | (jnp.take(data, byte + 2).astype(jnp.uint32) << 16)
+             | (jnp.take(data, byte + 3).astype(jnp.uint32) << 24))
+        return (w >> sh) & jnp.uint32((1 << nbits) - 1)
+
+    lit_flat = lit_lut.reshape(-1)
+    dist_flat = dist_lut.reshape(-1)
+
+    v1 = peek(p, 15).astype(jnp.int32)
+    e1 = jnp.take(lit_flat, blk * 32768 + v1)
+    n1 = e1 >> 16
+    sym = e1 & 0xFFFF
+    bad1 = e1 < 0
+
+    is_lit = (sym < 256) & ~bad1
+    is_eob = (sym == 256) & ~bad1
+    is_match = (sym > 256) & ~bad1
+    mcode = jnp.clip(sym - 257, 0, 28)
+    bad_len = is_match & (sym - 257 >= 29)
+
+    lext = jnp.take(jnp.asarray(_LIT_EXTRA), mcode)
+    p2 = p + n1
+    lenv = (jnp.take(jnp.asarray(_LIT_BASE), mcode)
+            + (peek(p2, 5).astype(jnp.int32) & ((1 << lext) - 1)))
+    p3 = p2 + lext
+
+    v2 = peek(p3, 15).astype(jnp.int32)
+    e2 = jnp.take(dist_flat, blk * 32768 + v2)
+    n2 = e2 >> 16
+    dsym = jnp.clip(e2 & 0xFFFF, 0, 31)
+    bad2 = is_match & ((e2 < 0) | ((e2 & 0xFFFF) >= 30))
+    dsym = jnp.clip(dsym, 0, 29)
+
+    dext = jnp.take(jnp.asarray(_DIST_EXTRA), dsym)
+    dist = (jnp.take(jnp.asarray(_DIST_BASE), dsym)
+            + (peek(p3 + n2, 13).astype(jnp.int32) & ((1 << dext) - 1)))
+    p4 = p3 + n2 + dext
+
+    invalid = (bad1
+               | (is_match & (bad_len | bad2 | (p4 > P)))
+               | (is_lit & ((p + n1) > P)))
+    nxt = jnp.where(is_lit, p + n1, jnp.where(is_match, p4, p))
+    nxt = jnp.where(invalid, p, nxt)
+    nxt = jnp.clip(nxt, 0, P - 1)
+
+    outlen = jnp.where(is_lit, 1, jnp.where(is_match, lenv, 0))
+    outlen = jnp.where(invalid, 0, outlen)
+    kind = jnp.where(is_lit, 0, jnp.where(is_match, 1, 2))
+    kind = jnp.where(invalid, 3, kind)
+
+    # global-index jump tables
+    nxt_flat = blk * P + nxt
+    n_doublings = max(1, R - 1).bit_length()
+    jumps = [nxt_flat]
+    for _ in range(n_doublings - 1):
+        jumps.append(jnp.take(jumps[-1], jumps[-1]))
+
+    ranks = jnp.arange(R, dtype=jnp.int32)
+    # (B, R) chain positions
+    pos = (jnp.arange(B, dtype=jnp.int32)[:, None] * P
+           + jnp.clip(start_bits, 0, P - 1)[:, None])
+    pos = jnp.broadcast_to(pos, (B, R)).reshape(-1)
+    rk = jnp.broadcast_to(ranks[None, :], (B, R)).reshape(-1)
+    for k in range(n_doublings):
+        bit = (rk >> k) & 1
+        pos = jnp.where(bit == 1, jnp.take(jumps[k], pos), pos)
+
+    t_kind = jnp.take(kind.reshape(-1), pos).reshape(B, R)
+    t_outlen = jnp.take(outlen.reshape(-1), pos).reshape(B, R)
+    t_dist = jnp.take(dist.reshape(-1), pos).reshape(B, R)
+    t_lit = jnp.take(sym.reshape(-1), pos).reshape(B, R).astype(jnp.uint8)
+
+    # bit position AFTER the EOB code (the next deflate block header
+    # starts there): chain sticks AT the EOB position, so add its
+    # huffman code length
+    last_pos = pos.reshape(B, R)[:, R - 1]
+    end_pos = (last_pos - jnp.arange(B, dtype=jnp.int32) * P
+               + jnp.take(n1, last_pos))
+    chain_invalid = jnp.any(t_kind == 3, axis=1)
+    reached_end = jnp.any(t_kind == 2, axis=1)
+    return t_kind, t_outlen, t_dist, t_lit, end_pos, chain_invalid, reached_end
+
+
+# ---------------------------------------------------------------------------
+# folder-level assembly (phase B)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("N",))
+def _phase_b(t_kind, t_outlen, t_dist, t_lit, frame_base, N: int):
+    """Expand folder-ordered tokens into bytes.
+
+    t_*: (B, R) token arrays in frame order; frame_base: (B,) output
+    offset of each frame. N: static output buffer size (>= total)."""
+    B, R = t_kind.shape
+    live = (t_kind == 0) | (t_kind == 1)
+    tlen = jnp.where(live, t_outlen, 0)
+    within = jnp.cumsum(tlen, axis=1) - tlen
+    out_start = (frame_base[:, None] + within).reshape(-1)
+    flat_len = tlen.reshape(-1)
+
+    T = B * R
+    marks = jnp.zeros(N + 1, jnp.int32).at[
+        jnp.where(flat_len > 0, jnp.clip(out_start, 0, N), N)].max(
+        jnp.arange(T, dtype=jnp.int32) + 1)
+    tok_id = jnp.clip(jax.lax.cummax(marks[:N]) - 1, 0, T - 1)
+
+    bpos = jnp.arange(N, dtype=jnp.int32)
+    k = jnp.take(t_kind.reshape(-1), tok_id)
+    d = jnp.take(t_dist.reshape(-1), tok_id)
+    l = jnp.take(t_lit.reshape(-1), tok_id)
+    ptr = jnp.where(k == 0, bpos, bpos - d)
+
+    rounds = max(1, N - 1).bit_length()
+
+    def round_(_, pp):
+        return jnp.where(pp >= 0, jnp.take(pp, jnp.clip(pp, 0, N - 1)), pp)
+
+    root = jax.lax.fori_loop(0, rounds, round_, ptr)
+    out = jnp.take(l, jnp.clip(root, 0, N - 1))
+    bad_src = jnp.any(root < 0)
+    return out, bad_src
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def inflate_folder(frames: list[bytes],
+                   expected_sizes: list[int] | None = None) -> bytes | None:
+    """Decode one CAB-MSZIP folder's deflate streams (CK already
+    stripped) on device. Returns folder bytes, or None if any frame
+    needs the scalar fallback."""
+    if not frames:
+        return b""
+    try:
+        return _inflate_folder(frames, expected_sizes)
+    except NeedFallback:
+        return None
+
+
+def _bucket(v, buckets):
+    for b in buckets:
+        if v <= b:
+            return b
+    raise NeedFallback(f"size {v} beyond largest bucket")
+
+
+def _inflate_folder(frames, expected_sizes):
+    nominal = len(frames)
+    B = _bucket(nominal, B_BUCKETS)
+    frames = list(frames) + [_EMPTY_STREAM] * (B - nominal)
+    if expected_sizes is not None:
+        expected_sizes = list(expected_sizes) + [0] * (B - nominal)
+    S = _bucket(max(len(f) for f in frames) + 8, S_BUCKETS)
+    P = S * 8
+
+    # host: parse first block header of every frame
+    state = []  # per frame: (bitpos, lut pair) or raises
+    data = np.zeros((B, S), np.uint8)
+    for i, f in enumerate(frames):
+        data[i, : len(f)] = np.frombuffer(f, np.uint8)
+
+    # token accumulators per frame
+    all_tokens = [[] for _ in range(B)]  # list of (kind,outlen,dist,lit) arrays
+    pending = {i: 0 for i in range(B)}   # frame -> current bitpos
+
+    dev_data = jnp.asarray(data.reshape(-1))
+    max_rounds = 64
+    for _ in range(max_rounds):
+        # parse headers for all pending frames
+        todo = []
+        for i in list(pending):
+            bitpos = pending[i]
+            last, kindh, *rest = _parse_block_header(frames[i], bitpos)
+            if kindh == "stored":
+                (start, length), nxt = rest
+                # stored payload as one literal run: emit literal tokens
+                kind = np.zeros(length, np.int32)
+                outlen = np.ones(length, np.int32)
+                dist = np.zeros(length, np.int32)
+                lit = data[i, start : start + length].copy()
+                all_tokens[i].append((kind, outlen, dist, lit))
+                if last:
+                    del pending[i]
+                else:
+                    pending[i] = nxt
+                continue
+            lit_lut, dist_lut, data_bitpos = rest
+            todo.append((i, last, lit_lut, dist_lut, data_bitpos))
+        if not todo:
+            break
+
+        # pad the round's batch to a bucket so _phase_a compiles once
+        n_todo = len(todo)
+        bb = _bucket(n_todo, B_BUCKETS)
+        todo_p = todo + [todo[0]] * (bb - n_todo)
+        idxs = [t[0] for t in todo_p]
+        lit_luts = jnp.asarray(np.stack([t[2] for t in todo_p]))
+        dist_luts = jnp.asarray(np.stack([t[3] for t in todo_p]))
+        starts = jnp.asarray(np.asarray([t[4] for t in todo_p], np.int32))
+        sub = jnp.asarray(data[idxs].reshape(-1))
+
+        (t_kind, t_outlen, t_dist, t_lit, end_pos, chain_inv,
+         reached) = _phase_a(sub, starts, lit_luts, dist_luts,
+                             P, MAX_TOKENS, S)
+        t_kind = np.asarray(t_kind)
+        t_outlen = np.asarray(t_outlen)
+        t_dist = np.asarray(t_dist)
+        t_lit = np.asarray(t_lit)
+        end_pos = np.asarray(end_pos)
+        chain_inv = np.asarray(chain_inv)
+        reached = np.asarray(reached)
+
+        for j, (i, last, *_r) in enumerate(todo):
+            if chain_inv[j] or not reached[j]:
+                raise NeedFallback(f"frame {i}: invalid symbol on chain")
+            mask = (t_kind[j] == 0) | (t_kind[j] == 1)
+            all_tokens[i].append((t_kind[j][mask], t_outlen[j][mask],
+                                  t_dist[j][mask], t_lit[j][mask]))
+            if last:
+                del pending[i]
+            else:
+                pending[i] = int(end_pos[j])
+    if pending:
+        raise NeedFallback("too many deflate blocks per frame")
+
+    # flatten per-frame token lists, compute frame lengths
+    frame_lens = []
+    ks, os_, ds, ls = [], [], [], []
+    for i in range(B):
+        if all_tokens[i]:
+            k = np.concatenate([t[0] for t in all_tokens[i]])
+            o = np.concatenate([t[1] for t in all_tokens[i]])
+            d = np.concatenate([t[2] for t in all_tokens[i]])
+            l = np.concatenate([t[3] for t in all_tokens[i]])
+        else:
+            k = np.zeros(0, np.int32)
+            o = np.zeros(0, np.int32)
+            d = np.zeros(0, np.int32)
+            l = np.zeros(0, np.uint8)
+        flen = int(o.sum())
+        if flen > FRAME_SIZE:
+            raise NeedFallback(f"frame {i} overflows 32k")
+        if expected_sizes is not None and flen != expected_sizes[i]:
+            raise NeedFallback(f"frame {i} length {flen} != expected")
+        frame_lens.append(flen)
+        ks.append(k)
+        os_.append(o)
+        ds.append(d)
+        ls.append(l)
+
+    total = sum(frame_lens)
+    if total == 0:
+        return b""
+
+    # pad token arrays to a common (bucketed) R for the device
+    R = max(max(len(k) for k in ks), 1)
+    R = 1 << (R - 1).bit_length()
+    R = max(R, 256)
+    tk = np.full((B, R), 2, np.int32)
+    to = np.zeros((B, R), np.int32)
+    td = np.zeros((B, R), np.int32)
+    tl = np.zeros((B, R), np.uint8)
+    for i in range(B):
+        n = len(ks[i])
+        tk[i, :n] = ks[i]
+        to[i, :n] = os_[i]
+        td[i, :n] = ds[i]
+        tl[i, :n] = ls[i]
+    base = np.zeros(B, np.int32)
+    base[1:] = np.cumsum(frame_lens)[:-1]
+
+    N = max(256, 1 << (total - 1).bit_length())
+    if total > (1 << 26):
+        # very large folders need the chunked resolver; scalar for now
+        raise NeedFallback("folder too large for single-pass resolve")
+    out, bad_src = _phase_b(jnp.asarray(tk), jnp.asarray(to), jnp.asarray(td),
+                            jnp.asarray(tl), jnp.asarray(base), N)
+    if bool(bad_src):
+        raise NeedFallback("match distance before folder start")
+    return np.asarray(out)[:total].tobytes()
