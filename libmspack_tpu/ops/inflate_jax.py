@@ -124,25 +124,45 @@ def _canonical_codes(lens: np.ndarray):
     return codes
 
 
-def _build_lut15(lens: np.ndarray) -> np.ndarray:
-    """15-bit LSB-indexed LUT: entry = (codelen << 16) | sym, -1 invalid.
+def _build_lut15(lens: np.ndarray, kind: str = "lit") -> np.ndarray:
+    """15-bit LSB-indexed decode LUT with the symbol's whole decode
+    recipe packed into one int32 entry (so phase A needs exactly one
+    gather per tree):
 
-    An over-subscribed code is a NeedFallback (the scalar path will
-    produce the reference's exact error)."""
+    lit entry:  bits 0-3 codelen | 4-12 sym | 13-15 len_extra_bits |
+                16-24 len_base
+    dist entry: bits 0-3 codelen | 4-8 dsym | 9-12 dist_extra_bits |
+                13-27 dist_base
+    -1 = invalid. Over-subscribed code -> NeedFallback (scalar path
+    reproduces the reference error).
+    """
     lens = np.asarray(lens, np.int64)
     kraft = np.sum((lens > 0) * (1 << (15 - np.maximum(lens, 1))))
     if kraft > (1 << 15):
         raise NeedFallback("over-subscribed huffman code")
     codes = _canonical_codes(lens)
     lut = np.full(1 << 15, -1, np.int32)
-    rev15 = _bitrev_arr(15)
     for sym in range(len(lens)):
         L = int(lens[sym])
         if L == 0:
             continue
+        if kind == "lit":
+            if 257 <= sym <= 285:
+                c = sym - 257
+                entry = (L | (sym << 4) | (int(_LIT_EXTRA[c]) << 13)
+                         | (int(_LIT_BASE[c]) << 16))
+            elif sym <= 256:
+                entry = L | (sym << 4)
+            else:
+                continue  # 286/287: leave invalid (reference errors)
+        else:
+            if sym >= 30:
+                continue  # invalid distance codes
+            entry = (L | (sym << 4) | (int(_DIST_EXTRA[sym]) << 9)
+                     | (int(_DIST_BASE[sym]) << 13))
         # low L bits of the peeked value = bit-reversed code
         base = int(_bitrev_arr(L)[codes[sym]]) if L else 0
-        lut[base :: 1 << L] = (L << 16) | sym
+        lut[base :: 1 << L] = entry
     return lut
 
 
@@ -170,8 +190,8 @@ def _parse_block_header(stream: bytes, bitpos: int):
     if btype == 1:
         lit_lens = np.frombuffer(FIXED_LITERAL_LENS, np.uint8).astype(np.int64)
         dist_lens = np.frombuffer(FIXED_DISTANCE_LENS, np.uint8).astype(np.int64)
-        return (last, "huff", _build_lut15(lit_lens), _build_lut15(dist_lens),
-                bits.pos)
+        return (last, "huff", _build_lut15(lit_lens, "lit"),
+                _build_lut15(dist_lens, "dist"), bits.pos)
     if btype != 2:
         raise NeedFallback("bad block type")
 
@@ -194,7 +214,7 @@ def _parse_block_header(stream: bytes, bitpos: int):
         if e < 0:
             raise NeedFallback("bad bitlen symbol")
         # we read 7 bits but the code is shorter: rewind the difference
-        clen, code = e >> 16, e & 0xFFFF
+        clen, code = e & 0xF, (e >> 4) & 0x1FF
         bits.pos -= 7 - clen
         if code < 16:
             lens[i] = last_code = code
@@ -210,8 +230,8 @@ def _parse_block_header(stream: bytes, bitpos: int):
             raise NeedFallback("bitlen RLE overrun")
         lens[i : i + run] = fill
         i += run
-    return (last, "huff", _build_lut15(lens[:lit_codes]),
-            _build_lut15(lens[lit_codes:]), bits.pos)
+    return (last, "huff", _build_lut15(lens[:lit_codes], "lit"),
+            _build_lut15(lens[lit_codes:], "dist"), bits.pos)
 
 
 # ---------------------------------------------------------------------------
@@ -235,52 +255,52 @@ def _phase_a(data: jnp.ndarray, start_bits: jnp.ndarray,
     blk = jnp.arange(NP, dtype=jnp.int32) // P
     p = jnp.arange(NP, dtype=jnp.int32) % P
 
-    base_byte = blk * S
+    # 96-bit window: three u32 words from the byte stream, so every bit
+    # field of a full decode step (<=48 bits past p) comes from just 3
+    # word gathers + vector shifts instead of byte gathers per peek
+    words = jax.lax.bitcast_convert_type(data.reshape(-1, 4), jnp.uint32)
+    wbase = blk * (S // 4) + (p >> 5)
+    w0 = jnp.take(words, wbase)
+    w1 = jnp.take(words, wbase + 1)
+    w2 = jnp.take(words, wbase + 2)
+    q0 = (p & 31).astype(jnp.uint32)
 
-    def peek(bitpos, nbits):
-        byte = base_byte + (bitpos >> 3)
-        sh = (bitpos & 7).astype(jnp.uint32)
-        w = (jnp.take(data, byte).astype(jnp.uint32)
-             | (jnp.take(data, byte + 1).astype(jnp.uint32) << 8)
-             | (jnp.take(data, byte + 2).astype(jnp.uint32) << 16)
-             | (jnp.take(data, byte + 3).astype(jnp.uint32) << 24))
-        return (w >> sh) & jnp.uint32((1 << nbits) - 1)
+    def extract(rel, nbits):
+        """bits [p+rel, p+rel+nbits) of the stream; rel+nbits <= 63."""
+        k = q0 + rel.astype(jnp.uint32) if not isinstance(rel, int) \
+            else q0 + jnp.uint32(rel)
+        hiword = k >= 32
+        a = jnp.where(hiword, w1, w0)
+        b = jnp.where(hiword, w2, w1)
+        kk = k & 31
+        lo = (a >> kk) | jnp.where(
+            kk > 0, b << (jnp.uint32(32) - kk), jnp.uint32(0))
+        return (lo & jnp.uint32((1 << nbits) - 1)).astype(jnp.int32)
 
     lit_flat = lit_lut.reshape(-1)
     dist_flat = dist_lut.reshape(-1)
 
-    v1 = peek(p, 15).astype(jnp.int32)
-    e1 = jnp.take(lit_flat, blk * 32768 + v1)
-    n1 = e1 >> 16
-    sym = e1 & 0xFFFF
+    e1 = jnp.take(lit_flat, blk * 32768 + extract(0, 15))
+    n1 = e1 & 0xF
+    sym = (e1 >> 4) & 0x1FF
     bad1 = e1 < 0
 
     is_lit = (sym < 256) & ~bad1
-    is_eob = (sym == 256) & ~bad1
     is_match = (sym > 256) & ~bad1
-    mcode = jnp.clip(sym - 257, 0, 28)
-    bad_len = is_match & (sym - 257 >= 29)
+    lext = (e1 >> 13) & 0x7
+    lenv = ((e1 >> 16) & 0x1FF) + (extract(n1, 5) & ((1 << lext) - 1))
+    p3 = p + n1 + lext
 
-    lext = jnp.take(jnp.asarray(_LIT_EXTRA), mcode)
-    p2 = p + n1
-    lenv = (jnp.take(jnp.asarray(_LIT_BASE), mcode)
-            + (peek(p2, 5).astype(jnp.int32) & ((1 << lext) - 1)))
-    p3 = p2 + lext
-
-    v2 = peek(p3, 15).astype(jnp.int32)
-    e2 = jnp.take(dist_flat, blk * 32768 + v2)
-    n2 = e2 >> 16
-    dsym = jnp.clip(e2 & 0xFFFF, 0, 31)
-    bad2 = is_match & ((e2 < 0) | ((e2 & 0xFFFF) >= 30))
-    dsym = jnp.clip(dsym, 0, 29)
-
-    dext = jnp.take(jnp.asarray(_DIST_EXTRA), dsym)
-    dist = (jnp.take(jnp.asarray(_DIST_BASE), dsym)
-            + (peek(p3 + n2, 13).astype(jnp.int32) & ((1 << dext) - 1)))
+    e2 = jnp.take(dist_flat, blk * 32768 + extract(n1 + lext, 15))
+    n2 = e2 & 0xF
+    bad2 = is_match & (e2 < 0)
+    dext = (e2 >> 9) & 0xF
+    dist = ((e2 >> 13) & 0x7FFF) + (extract(n1 + lext + n2, 13)
+                                    & ((1 << dext) - 1))
     p4 = p3 + n2 + dext
 
     invalid = (bad1
-               | (is_match & (bad_len | bad2 | (p4 > P)))
+               | (is_match & (bad2 | (p4 > P)))
                | (is_lit & ((p + n1) > P)))
     nxt = jnp.where(is_lit, p + n1, jnp.where(is_match, p4, p))
     nxt = jnp.where(invalid, p, nxt)

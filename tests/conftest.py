@@ -2,15 +2,21 @@
 
 Real-TPU execution is exercised by bench.py and the driver's graft
 entry; unit tests must run anywhere, so we emulate the multi-chip
-topology on CPU (SURVEY.md §4.4).
+topology on CPU (SURVEY.md §4.4). The axon site hook pins
+JAX_PLATFORMS=axon, so the env var alone is not enough — we override
+via jax.config as well.
 """
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
