@@ -1,0 +1,123 @@
+"""Benchmark: batched MSZIP (DEFLATE) folder decode, TPU vs reference C.
+
+Builds a compressible corpus, packs it into CAB-MSZIP folders, then:
+  * baseline — the compiled reference libmspack (single-thread C, the
+    only mode it has) extracting the cabinet to /dev/shm;
+  * ours — the speculative TPU inflater decoding the same folders
+    (one warmup pass absorbs XLA compilation; steady-state timed).
+
+Prints ONE json line:
+  {"metric": "mszip_decompress", "value": <GB/s decompressed>,
+   "unit": "GB/s", "vs_baseline": <ours / reference>}
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CORPUS_MB = 96
+FOLDER_MB = 24
+
+
+def build_corpus(total_bytes: int) -> bytes:
+    import numpy as np
+    rng = np.random.RandomState(7)
+    # mixed compressibility: text-ish runs + structured binary + noise
+    parts = []
+    text = (b"The quick brown fox jumps over the lazy dog. "
+            b"Pack my box with five dozen liquor jugs. ") * 40
+    while sum(map(len, parts)) < total_bytes:
+        parts.append(text)
+        parts.append(rng.randint(0, 64, 2048, dtype=np.uint8).tobytes() * 4)
+        parts.append(bytes(np.arange(256, dtype=np.uint8)) * 32)
+    return b"".join(parts)[:total_bytes]
+
+
+def build_cab(corpus: bytes) -> bytes:
+    from libmspack_tpu.compress import cab_c
+    folders = []
+    fsz = FOLDER_MB << 20
+    for i in range(0, len(corpus), fsz):
+        chunk = corpus[i : i + fsz]
+        folders.append(cab_c.FolderSpec(
+            [(f"f{i}.bin", chunk)], "mszip"))
+    return cab_c.write_cab(folders=folders)
+
+
+def bench_reference(cab_path: str) -> float:
+    """Wall time of the reference extracting every member."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    import oracle
+    oracle.build_oracle()
+    lib = oracle.lib()
+    best = float("inf")
+    for _ in range(3):
+        with tempfile.TemporaryDirectory(dir="/dev/shm") as d:
+            t0 = time.perf_counter()
+            err = lib.oracle_cab_extract_all(cab_path.encode(), d.encode(),
+                                             0, 0)
+            dt = time.perf_counter() - t0
+        assert err == 0, f"reference failed: {err}"
+        best = min(best, dt)
+    return best
+
+
+def bench_ours(cab_path: str, expected: bytes) -> float:
+    from libmspack_tpu.formats.cab import CabDecompressor
+    from libmspack_tpu.system import BytesSink
+
+    def run() -> bytes:
+        d = CabDecompressor(engine="jax")
+        cab = d.open(cab_path)
+        outs = []
+        for f in cab.files:
+            s = BytesSink()
+            d.extract(f, s)
+            outs.append(s.getvalue())
+        return b"".join(outs)
+
+    out = run()  # warmup: XLA compiles cached after this
+    assert out == expected, "bit-exactness check failed!"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run()
+        best = min(best, time.perf_counter() - t0)
+    assert out == expected
+    return best
+
+
+def main():
+    corpus = build_corpus(CORPUS_MB << 20)
+    cab_bytes = build_cab(corpus)
+    fd, cab_path = tempfile.mkstemp(suffix=".cab", dir="/dev/shm")
+    os.write(fd, cab_bytes)
+    os.close(fd)
+    try:
+        ref_t = bench_reference(cab_path)
+        ours_t = bench_ours(cab_path, corpus)
+    finally:
+        os.unlink(cab_path)
+
+    gb = len(corpus) / 1e9
+    ours_gbps = gb / ours_t
+    ref_gbps = gb / ref_t
+    print(json.dumps({
+        "metric": "mszip_decompress",
+        "value": round(ours_gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(ours_gbps / ref_gbps, 3),
+    }))
+    print(f"# corpus {CORPUS_MB} MiB, ratio "
+          f"{len(cab_bytes)/len(corpus):.3f}; reference {ref_gbps:.3f} GB/s "
+          f"({ref_t:.2f}s), ours {ours_gbps:.3f} GB/s ({ours_t:.2f}s)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -413,11 +413,7 @@ def _bucket(v, buckets):
 
 
 def _inflate_folder(frames, expected_sizes):
-    nominal = len(frames)
-    B = _bucket(nominal, B_BUCKETS)
-    frames = list(frames) + [_EMPTY_STREAM] * (B - nominal)
-    if expected_sizes is not None:
-        expected_sizes = list(expected_sizes) + [0] * (B - nominal)
+    B = len(frames)
     S = _bucket(max(len(f) for f in frames) + 8, S_BUCKETS)
     P = S * 8
 
@@ -457,37 +453,40 @@ def _inflate_folder(frames, expected_sizes):
         if not todo:
             break
 
-        # pad the round's batch to a bucket so _phase_a compiles once
-        n_todo = len(todo)
-        bb = _bucket(n_todo, B_BUCKETS)
-        todo_p = todo + [todo[0]] * (bb - n_todo)
-        idxs = [t[0] for t in todo_p]
-        lit_luts = jnp.asarray(np.stack([t[2] for t in todo_p]))
-        dist_luts = jnp.asarray(np.stack([t[3] for t in todo_p]))
-        starts = jnp.asarray(np.asarray([t[4] for t in todo_p], np.int32))
-        sub = jnp.asarray(data[idxs].reshape(-1))
+        # run phase A over the round's batch in bucket-sized chunks so
+        # the kernel compiles once per (bucket, S) pair
+        maxb = B_BUCKETS[-1]
+        for c0 in range(0, len(todo), maxb):
+            chunk = todo[c0 : c0 + maxb]
+            bb = _bucket(len(chunk), B_BUCKETS)
+            chunk_p = chunk + [chunk[0]] * (bb - len(chunk))
+            idxs = [t[0] for t in chunk_p]
+            lit_luts = jnp.asarray(np.stack([t[2] for t in chunk_p]))
+            dist_luts = jnp.asarray(np.stack([t[3] for t in chunk_p]))
+            starts = jnp.asarray(np.asarray([t[4] for t in chunk_p], np.int32))
+            sub = jnp.asarray(data[idxs].reshape(-1))
 
-        (t_kind, t_outlen, t_dist, t_lit, end_pos, chain_inv,
-         reached) = _phase_a(sub, starts, lit_luts, dist_luts,
-                             P, MAX_TOKENS, S)
-        t_kind = np.asarray(t_kind)
-        t_outlen = np.asarray(t_outlen)
-        t_dist = np.asarray(t_dist)
-        t_lit = np.asarray(t_lit)
-        end_pos = np.asarray(end_pos)
-        chain_inv = np.asarray(chain_inv)
-        reached = np.asarray(reached)
+            (t_kind, t_outlen, t_dist, t_lit, end_pos, chain_inv,
+             reached) = _phase_a(sub, starts, lit_luts, dist_luts,
+                                 P, MAX_TOKENS, S)
+            t_kind = np.asarray(t_kind)
+            t_outlen = np.asarray(t_outlen)
+            t_dist = np.asarray(t_dist)
+            t_lit = np.asarray(t_lit)
+            end_pos = np.asarray(end_pos)
+            chain_inv = np.asarray(chain_inv)
+            reached = np.asarray(reached)
 
-        for j, (i, last, *_r) in enumerate(todo):
-            if chain_inv[j] or not reached[j]:
-                raise NeedFallback(f"frame {i}: invalid symbol on chain")
-            mask = (t_kind[j] == 0) | (t_kind[j] == 1)
-            all_tokens[i].append((t_kind[j][mask], t_outlen[j][mask],
-                                  t_dist[j][mask], t_lit[j][mask]))
-            if last:
-                del pending[i]
-            else:
-                pending[i] = int(end_pos[j])
+            for j, (i, last, *_r) in enumerate(chunk):
+                if chain_inv[j] or not reached[j]:
+                    raise NeedFallback(f"frame {i}: invalid symbol on chain")
+                mask = (t_kind[j] == 0) | (t_kind[j] == 1)
+                all_tokens[i].append((t_kind[j][mask], t_outlen[j][mask],
+                                      t_dist[j][mask], t_lit[j][mask]))
+                if last:
+                    del pending[i]
+                else:
+                    pending[i] = int(end_pos[j])
     if pending:
         raise NeedFallback("too many deflate blocks per frame")
 
