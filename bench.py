@@ -19,6 +19,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent XLA compile cache: bench re-runs skip the (slow, tunneled)
+# TPU compiles entirely
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 CORPUS_MB = 96
 FOLDER_MB = 24
 
@@ -81,13 +90,18 @@ def bench_ours(cab_path: str, expected: bytes) -> float:
             outs.append(s.getvalue())
         return b"".join(outs)
 
+    t0 = time.perf_counter()
     out = run()  # warmup: XLA compiles cached after this
+    print(f"# warmup (incl. compile): {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
     assert out == expected, "bit-exactness check failed!"
     best = float("inf")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         out = run()
-        best = min(best, time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        print(f"# ours run: {dt:.2f}s", file=sys.stderr)
+        best = min(best, dt)
     assert out == expected
     return best
 

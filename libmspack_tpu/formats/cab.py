@@ -663,7 +663,13 @@ class CabDecompressor:
         # (the scalar path handles realign-scanning of damaged streams)
         if any(f[:2] != b"CK" for f in frames):
             return None
-        out = inflate_folder([f[2:] for f in frames], sizes)
+        streams = [f[2:] for f in frames]
+        # fully-fused single-call pipeline first; the chunked v1 handles
+        # what it can't (multi-block frames, stored blocks)
+        from ..ops.inflate_fused import inflate_folder_fused
+        out = inflate_folder_fused(streams, sizes)
+        if out is None:
+            out = inflate_folder(streams, sizes)
         if out is None:
             return None
         self._folder_cache = (fol, out)

@@ -89,3 +89,22 @@ def test_cab_jax_engine_on_reference_golden():
         d.extract(f, s)
         assert hashlib.md5(s.getvalue()).hexdigest() == \
             "940cba86658fbceb582faecd2b5975d1"
+
+
+def test_fused_pipeline_bit_exact():
+    from libmspack_tpu.ops.inflate_fused import inflate_folder_fused
+    rng = random.Random(21)
+    for data in [b"fused " * 5000,
+                 bytes(rng.choice(b"abcdefgh") for _ in range(90000))]:
+        frames = [f[2:] for f in mszip_c.compress_frames(data)]
+        sizes = [min(32768, len(data) - i * 32768)
+                 for i in range(len(frames))]
+        out = inflate_folder_fused(frames, sizes)
+        assert out is not None and out == data
+
+
+def test_fused_pipeline_rejects_wrong_sizes():
+    from libmspack_tpu.ops.inflate_fused import inflate_folder_fused
+    data = b"size check " * 2000
+    frames = [f[2:] for f in mszip_c.compress_frames(data)]
+    assert inflate_folder_fused(frames, [len(data) + 1]) is None
