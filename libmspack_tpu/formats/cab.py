@@ -639,7 +639,27 @@ class CabDecompressor:
             from ..ops.inflate_jax import inflate_folder
         except Exception:
             return None
-        # collect all CFDATA blocks with full checksum/limit validation
+        collected = self.collect_mszip_frames(fol)
+        if collected is None:
+            return None
+        frames, sizes = collected
+        streams = [f[2:] for f in frames]
+        # fully-fused single-call pipeline first; the chunked v1 handles
+        # what it can't (multi-block frames, stored blocks)
+        from ..ops.inflate_fused import inflate_folder_fused
+        out = inflate_folder_fused(streams, sizes)
+        if out is None:
+            out = inflate_folder(streams, sizes)
+        if out is None:
+            return None
+        self._folder_cache = (fol, out)
+        return out
+
+    def collect_mszip_frames(self, fol: CabFolder):
+        """Read and validate all CFDATA blocks of an MSZIP folder.
+
+        Returns ([frame_bytes_with_CK, ...], [uncomp_sizes]) or None if
+        anything needs the scalar path (checksum failure, missing CK)."""
         d = _DecompState()
         d.folder = fol
         d.comp_type = fol.comp_type
@@ -663,17 +683,7 @@ class CabDecompressor:
         # (the scalar path handles realign-scanning of damaged streams)
         if any(f[:2] != b"CK" for f in frames):
             return None
-        streams = [f[2:] for f in frames]
-        # fully-fused single-call pipeline first; the chunked v1 handles
-        # what it can't (multi-block frames, stored blocks)
-        from ..ops.inflate_fused import inflate_folder_fused
-        out = inflate_folder_fused(streams, sizes)
-        if out is None:
-            out = inflate_folder(streams, sizes)
-        if out is None:
-            return None
-        self._folder_cache = (fol, out)
-        return out
+        return frames, sizes
 
     def _init_folder_state(self, fol: CabFolder) -> _DecompState:
         d = _DecompState()

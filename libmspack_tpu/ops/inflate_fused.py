@@ -276,12 +276,35 @@ C_BUCKETS = (1, 4, 16, 64)   # chunks of CHUNK frames
 _EMPTY_STREAM = b"\x03\x00"
 
 
+def inflate_folder_device(frames: list[bytes],
+                          expected_sizes: list[int]):
+    """Like inflate_folder_fused but keeps the output device-resident.
+
+    Returns (out_device (N,) uint8, total int, ok_device) or None for
+    fallback-needed. The caller decides whether to download the bytes
+    (slow on some links) or digest/consume them on device."""
+    try:
+        return _run_fused(frames, expected_sizes)
+    except NeedFallback:
+        return None
+
+
 def inflate_folder_fused(frames: list[bytes],
                          expected_sizes: list[int]) -> bytes | None:
     """Single fused device call for a whole folder. None = fallback."""
     if not frames:
         return b""
-    try:
+    res = inflate_folder_device(frames, expected_sizes)
+    if res is None:
+        return None
+    out, total, ok = res
+    if not bool(ok):
+        return None
+    return np.asarray(out)[:total].tobytes()
+
+
+def _run_fused(frames, expected_sizes):
+    if True:
         nominal = len(frames)
         C = next((c for c in C_BUCKETS if nominal <= c * CHUNK), None)
         if C is None:
@@ -315,8 +338,4 @@ def inflate_folder_fused(frames: list[bytes],
             jnp.asarray(data), jnp.asarray(lit_lens), jnp.asarray(dist_lens),
             jnp.asarray(starts), jnp.asarray(np.asarray(expected, np.int32)),
             S, MAX_TOKENS, N, C)
-        if not bool(ok):
-            return None
-        return np.asarray(out)[:total].tobytes()
-    except NeedFallback:
-        return None
+        return out, total, ok
