@@ -158,10 +158,14 @@ def _read_string(src, permit_empty: bool) -> str:
 def _checksum(data: bytes, cksum: int = 0) -> int:
     """CAB per-block XOR checksum (reference: cabd.c:1462-1479).
 
-    The vectorized device version is ops.checksum.cab_checksum."""
+    numpy-vectorized on host; the device version is
+    ops.checksum.cab_checksum."""
+    import numpy as np
+
     full = len(data) & ~3
-    for i in range(0, full, 4):
-        cksum ^= int.from_bytes(data[i : i + 4], "little")
+    if full:
+        words = np.frombuffer(data, np.uint8, full).view("<u4")
+        cksum ^= int(np.bitwise_xor.reduce(words))
     rem = len(data) - full
     ul = 0
     if rem == 3:
@@ -588,9 +592,10 @@ class CabDecompressor:
                              "cabinet set is incomplete" % file.filename)
                 raise DecrunchError("file beyond folder data")
 
-        # device fast path: decode the whole folder once on TPU, then
-        # serve every file of the folder from the cached bytes
-        if (self.engine == "jax" and not self.salvage and not self.fix_mszip
+        # fast paths: decode the whole folder once (native thread pool or
+        # TPU device pipeline), then serve every file from the cache
+        if (self.engine in ("jax", "native")
+                and not self.salvage and not self.fix_mszip
                 and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_MSZIP):
             folder_bytes = self._folder_bytes_fast(fol)
             if folder_bytes is not None:
@@ -644,12 +649,20 @@ class CabDecompressor:
             return None
         frames, sizes = collected
         streams = [f[2:] for f in frames]
-        # fully-fused single-call pipeline first; the chunked v1 handles
-        # what it can't (multi-block frames, stored blocks)
-        from ..ops.inflate_fused import inflate_folder_fused
-        out = inflate_folder_fused(streams, sizes)
-        if out is None:
-            out = inflate_folder(streams, sizes)
+        out = None
+        if self.engine == "native":
+            try:
+                from .. import native
+                out = native.mszip_folder(streams, sizes)
+            except Exception:
+                out = None
+        if out is None and self.engine == "jax":
+            # fully-fused single-call pipeline first; the chunked v1
+            # handles what it can't (multi-block frames, stored blocks)
+            from ..ops.inflate_fused import inflate_folder_fused
+            out = inflate_folder_fused(streams, sizes)
+            if out is None:
+                out = inflate_folder(streams, sizes)
         if out is None:
             return None
         self._folder_cache = (fol, out)

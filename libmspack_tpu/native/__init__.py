@@ -1,0 +1,155 @@
+"""Native host runtime: multithreaded C++ codec engine (ctypes).
+
+Builds lazily on first use (g++ is in the image; pip installs are not
+allowed so there is no wheel). The shared object is cached next to the
+source and rebuilt when the source changes.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "msp_native.cpp")
+
+_lib = None
+_build_error: str | None = None
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as fh:
+        tag = hashlib.sha256(fh.read()).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), "libmspack_tpu_native")
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"msp_native_{tag}.so")
+
+
+def _build() -> str:
+    so = _so_path()
+    if not os.path.exists(so):
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+               "-fPIC", "-pthread", "-o", so + ".tmp", _SRC]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(so + ".tmp", so)
+    return so
+
+
+def lib():
+    """The loaded engine, building it if needed. Raises on failure."""
+    global _lib, _build_error
+    if _lib is None:
+        if _build_error:
+            raise RuntimeError(_build_error)
+        try:
+            _lib = ctypes.CDLL(_build())
+        except Exception as e:  # remember: don't retry every call
+            _build_error = f"native engine unavailable: {e}"
+            raise RuntimeError(_build_error) from e
+        _lib.msp_mszip_folder.restype = ctypes.c_int
+        _lib.msp_mszip_folders.restype = ctypes.c_int
+        _lib.msp_lzss.restype = ctypes.c_int64
+    return _lib
+
+
+def available() -> bool:
+    try:
+        lib()
+        return True
+    except Exception:
+        return False
+
+
+def default_threads() -> int:
+    return max(1, os.cpu_count() or 1)
+
+
+def mszip_folder(frames: list[bytes], sizes: list[int],
+                 n_threads: int | None = None) -> bytes | None:
+    """Decode one MSZIP folder (deflate streams, CK stripped).
+
+    Returns the folder bytes or None if the engine flags anything the
+    scalar path should handle (exact reference error semantics)."""
+    L = lib()
+    n = len(frames)
+    if n == 0:
+        return b""
+    total = sum(sizes)
+    out = ctypes.create_string_buffer(total if total else 1)
+    FramePtrs = ctypes.c_char_p * n
+    ptrs = FramePtrs(*frames)
+    lens = (ctypes.c_uint64 * n)(*[len(f) for f in frames])
+    szs = (ctypes.c_uint32 * n)(*sizes)
+    r = L.msp_mszip_folder(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_char_p)), lens, szs,
+        n, out, total, n_threads or default_threads())
+    if r != 0:
+        return None
+    return out.raw[:total]
+
+
+class FolderBatch:
+    """Pre-staged ctypes arguments for repeated decode of the same
+    folder set (benchmarks / hot loops) with a reusable output buffer."""
+
+    def __init__(self, folders: list[tuple[list[bytes], list[int]]]):
+        frames_flat: list[bytes] = []
+        sizes_flat: list[int] = []
+        folder_offsets = [0]
+        out_offsets = [0]
+        for frames, sizes in folders:
+            frames_flat.extend(frames)
+            sizes_flat.extend(sizes)
+            folder_offsets.append(len(frames_flat))
+            out_offsets.append(out_offsets[-1] + sum(sizes))
+        n = len(frames_flat)
+        self.n_folders = len(folders)
+        self.total = out_offsets[-1]
+        self.out_offsets = out_offsets
+        self._keepalive = frames_flat
+        self.ptrs = (ctypes.c_char_p * n)(*frames_flat)
+        self.lens = (ctypes.c_uint64 * n)(*[len(f) for f in frames_flat])
+        self.szs = (ctypes.c_uint32 * n)(*sizes_flat)
+        self.foffs = (ctypes.c_int64 * len(folder_offsets))(*folder_offsets)
+        self.ooffs = (ctypes.c_int64 * len(out_offsets))(*out_offsets)
+        import numpy as np
+        self.out = np.zeros(max(self.total, 1), np.uint8)
+
+    def run(self, n_threads: int | None = None) -> bool:
+        """Decode into self.out; True on success."""
+        L = lib()
+        r = L.msp_mszip_folders(
+            ctypes.cast(self.ptrs, ctypes.POINTER(ctypes.c_char_p)),
+            self.lens, self.szs, self.foffs, self.n_folders,
+            self.out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.ooffs, n_threads or default_threads())
+        return r == 0
+
+    def views(self):
+        """Zero-copy per-folder views into the output buffer."""
+        mv = memoryview(self.out)
+        return [mv[self.out_offsets[i] : self.out_offsets[i + 1]]
+                for i in range(self.n_folders)]
+
+
+def mszip_folders(folders: list[tuple[list[bytes], list[int]]],
+                  n_threads: int | None = None) -> list[bytes] | None:
+    """Decode many folders with one thread pool. None on any failure."""
+    batch = FolderBatch(folders)
+    if not batch.run(n_threads):
+        return None
+    return [bytes(v) for v in batch.views()]
+
+
+def lzss_decompress(data: bytes, mode: int = 0,
+                    max_out: int | None = None) -> bytes:
+    L = lib()
+    cap = max(len(data) * 9 + 16, 64)
+    out = ctypes.create_string_buffer(cap)
+    n = L.msp_lzss(data, len(data), mode, out, cap)
+    res = out.raw[: int(n)]
+    if max_out is not None:
+        res = res[:max_out]
+    return res
