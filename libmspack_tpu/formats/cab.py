@@ -594,6 +594,22 @@ class CabDecompressor:
 
         # fast paths: decode the whole folder once (native thread pool or
         # TPU device pipeline), then serve every file from the cache
+        if (self.engine == "native" and not self.salvage
+                and (fol.comp_type & COMPTYPE_MASK) in (COMPTYPE_LZX,
+                                                        COMPTYPE_QUANTUM)):
+            folder_bytes = self._folder_bytes_lzx_native(fol)
+            if folder_bytes is not None:
+                sink = output if isinstance(output, Sink) else FileSink(output)
+                try:
+                    if file.offset + filelen > len(folder_bytes):
+                        raise DecrunchError("file beyond decoded folder")
+                    sink.write(folder_bytes[file.offset :
+                                            file.offset + filelen])
+                    return
+                finally:
+                    if sink is not output and hasattr(sink, "close"):
+                        sink.close()
+
         if (self.engine in ("jax", "native")
                 and not self.salvage and not self.fix_mszip
                 and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_MSZIP):
@@ -667,6 +683,61 @@ class CabDecompressor:
             return None
         self._folder_cache = (fol, out)
         return out
+
+    def _folder_bytes_lzx_native(self, fol: CabFolder) -> bytes | None:
+        """Whole-folder LZX decode via the native engine. CAB LZX never
+        resets (reference: cabd.c:1249-1250 passes reset_interval 0), so
+        the folder is one sequential stream; folder-level parallelism
+        comes from the batch APIs."""
+        if self._folder_cache is not None and self._folder_cache[0] is fol:
+            return self._folder_cache[1]
+        collected = self.collect_raw_blocks(fol)
+        if collected is None:
+            return None
+        blocks, sizes = collected
+        try:
+            from .. import native
+            ct = fol.comp_type & COMPTYPE_MASK
+            if ct == COMPTYPE_QUANTUM:
+                # cabd injects a 0xFF realign trailer after every block
+                # (reference: cabd.c:1327-1332)
+                stream = b"\xFF".join(blocks) + b"\xFF" if blocks else b""
+                out = native.qtm_decode(stream, (fol.comp_type >> 8) & 0x1F,
+                                        sum(sizes))
+            else:
+                out = native.lzx_decode(b"".join(blocks),
+                                        (fol.comp_type >> 8) & 0x1F, 0,
+                                        sum(sizes))
+        except Exception:
+            return None
+        if out is None:
+            return None
+        self._folder_cache = (fol, out)
+        return out
+
+    def collect_raw_blocks(self, fol: CabFolder):
+        """Read and checksum-validate all CFDATA blocks of a folder.
+        Returns ([block_bytes...], [uncomp_sizes]) or None."""
+        d = _DecompState()
+        d.folder = fol
+        d.comp_type = fol.comp_type
+        d.incab = fol.data[0].cab
+        try:
+            d.insrc = fol.data[0].cab.open_stream()
+            d.insrc.seek(fol.data[0].offset)
+        except MSPackError:
+            return None
+        blocks = []
+        sizes = []
+        try:
+            for _ in range(fol.num_blocks):
+                prev = d.outlen
+                self._read_block(d)
+                blocks.append(d.inbuf)
+                sizes.append(d.outlen - prev)
+        except MSPackError:
+            return None
+        return blocks, sizes
 
     def collect_mszip_frames(self, fol: CabFolder):
         """Read and validate all CFDATA blocks of an MSZIP folder.

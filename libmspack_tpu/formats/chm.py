@@ -181,9 +181,11 @@ class _DecompState:
 class ChmDecompressor:
     """Pythonic equivalent of mschm_decompressor (mspack.h:1577-1724)."""
 
-    def __init__(self, message=None):
+    def __init__(self, message=None, engine: str = "scalar"):
         self.message = message or (lambda s: None)
+        self.engine = engine
         self._d: Optional[_DecompState] = None
+        self._sec1_cache: tuple | None = None  # (chm, bytes)
         self.last_error = 0
 
     # -- open ------------------------------------------------------------
@@ -536,6 +538,13 @@ class ChmDecompressor:
 
     def _extract_sec1(self, d: _DecompState, file: ChmFile, sink) -> None:
         chm = d.chm
+        if self.engine == "native":
+            blob = self._sec1_bytes_native(d)
+            if blob is not None:
+                if file.offset + file.length > len(blob):
+                    raise DecrunchError("file beyond decoded section")
+                sink.write(blob[file.offset : file.offset + file.length])
+                return
         if d.lzx is None or file.offset < d.offset:
             d.lzx = None
             self._init_decomp(d, file)
@@ -573,6 +582,56 @@ class ChmDecompressor:
             raise
         finally:
             d.inoffset = d.insrc.tell()
+
+    def _sec1_bytes_native(self, d: _DecompState) -> bytes | None:
+        """Decode the whole MSCompressed section once with the native
+        LZX engine and cache it; None falls back to the scalar path."""
+        chm = d.chm
+        if self._sec1_cache is not None and self._sec1_cache[0] is chm:
+            return self._sec1_cache[1]
+        try:
+            from .. import native
+            sec = chm.sec1
+            if sec.content is None:
+                sec.content = self.fast_find(chm, CONTENT_NAME)
+            if sec.control is None:
+                sec.control = self.fast_find(chm, CONTROL_NAME)
+            if (sec.content is None or sec.control is None
+                    or sec.control.length != 0x1C):
+                return None
+            data = self._read_sys_file(d, sec.control)
+            if data[4:8] != b"LZXC":
+                return None
+            version = int.from_bytes(data[8:12], "little")
+            mult = FRAME_SIZE if version == 2 else 1
+            if version not in (1, 2):
+                return None
+            reset_interval = int.from_bytes(data[0x0C:0x10], "little") * mult
+            window_size = int.from_bytes(data[0x10:0x14], "little") * mult
+            window_bits = {0x8000: 15, 0x10000: 16, 0x20000: 17,
+                           0x40000: 18, 0x80000: 19, 0x100000: 20,
+                           0x200000: 21}.get(window_size)
+            if window_bits is None or reset_interval == 0                     or reset_interval % FRAME_SIZE:
+                return None
+            res = self._read_reset_table(d, sec, 0)
+            if res is not None:
+                length, _ = res
+                length += reset_interval - 1
+                length &= -reset_interval
+            else:
+                length = self._read_spaninfo(d, sec)
+            d.insrc.seek(chm.sec0.offset + sec.content.offset)
+            stream = d.insrc.read(sec.content.length)
+            out = native.lzx_decode(stream, window_bits,
+                                    reset_interval // FRAME_SIZE, length)
+            if out is None:
+                return None
+            self._sec1_cache = (chm, out)
+            return out
+        except MSPackError:
+            return None
+        except Exception:
+            return None
 
     def _init_decomp(self, d: _DecompState, file: ChmFile) -> None:
         """reference: chmd.c:1072-1186."""

@@ -51,6 +51,9 @@ def lib():
         _lib.msp_mszip_folder.restype = ctypes.c_int
         _lib.msp_mszip_folders.restype = ctypes.c_int
         _lib.msp_lzss.restype = ctypes.c_int64
+        _lib.msp_lzx_decode.restype = ctypes.c_int
+        _lib.msp_lzx_many.restype = ctypes.c_int
+        _lib.msp_qtm_decode.restype = ctypes.c_int
     return _lib
 
 
@@ -153,3 +156,38 @@ def lzss_decompress(data: bytes, mode: int = 0,
     if max_out is not None:
         res = res[:max_out]
     return res
+
+
+def lzx_decode(stream: bytes, window_bits: int, reset_interval: int,
+               out_len: int, is_delta: bool = False,
+               ref_data: bytes | None = None) -> bytes | None:
+    """Decode one LZX stream (folder / CHM section / OAB block).
+
+    Returns None when the engine flags anything needing the scalar
+    path's exact reference semantics."""
+    L = lib()
+    import numpy as np
+    out = np.zeros(max(out_len, 1), np.uint8)
+    r = L.msp_lzx_decode(
+        stream, ctypes.c_uint64(len(stream)), window_bits, reset_interval,
+        ctypes.c_int64(out_len), 1 if is_delta else 0,
+        ref_data, len(ref_data) if ref_data else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(out.nbytes))
+    if r != 0:
+        return None
+    return out.tobytes()[:out_len]
+
+
+def qtm_decode(stream: bytes, window_bits: int, out_len: int) -> bytes | None:
+    """Decode one Quantum stream (CAB folder with 0xFF block trailers)."""
+    L = lib()
+    import numpy as np
+    out = np.zeros(max(out_len, 1), np.uint8)
+    r = L.msp_qtm_decode(stream, ctypes.c_uint64(len(stream)), window_bits,
+                         ctypes.c_int64(out_len),
+                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                         ctypes.c_uint64(out.nbytes))
+    if r != 0:
+        return None
+    return out.tobytes()[:out_len]

@@ -337,6 +337,655 @@ struct FolderJob {
 
 }  // namespace
 
+// ================================================================= LZX
+// Sequential LZX / LZX DELTA decoder (reference semantics: lzxd.c via
+// codecs/lzx.py). Decodes a whole stream into a flat output buffer;
+// parallelism comes from decoding many streams (folders / CHM reset
+// chunks) across the thread pool.
+
+namespace lzx {
+
+constexpr int kNumChars = 256;
+constexpr int kPretreeSyms = 20;
+constexpr int kAlignedSyms = 8;
+constexpr int kLengthSyms = 250;     // 249 + 1
+constexpr int kMaxMainSyms = 256 + 290 * 8;
+constexpr int kFrame = 32768;
+
+static const uint16_t kPosSlots[11] = {30, 32, 34, 36, 38, 42,
+                                       50, 66, 98, 162, 290};
+
+struct Tables {
+  uint8_t extra_bits[291];
+  uint32_t pos_base[291];
+  Tables() {
+    uint32_t off = 0;
+    for (int i = 0; i <= 290; i++) {
+      extra_bits[i] = i < 4 ? 0 : (uint8_t)((i / 2 - 1) > 17 ? 17 : i / 2 - 1);
+      if (i < 291) pos_base[i] = off;
+      off += 1u << extra_bits[i];
+    }
+  }
+};
+static const Tables kT;
+
+// MSB bitstream over 16-bit little-endian units.
+struct MsbBits {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t buf = 0;  // top `n` bits valid
+  int n = 0;
+  int64_t fake = 0;
+
+  MsbBits(const uint8_t* d, size_t len) : p(d), end(d + len) {}
+
+  inline void fill() {
+    while (n <= 48) {
+      uint32_t unit;
+      if (p + 1 < end) {
+        unit = (uint32_t)p[0] | ((uint32_t)p[1] << 8);
+        p += 2;
+      } else if (p < end) {
+        unit = (uint32_t)p[0];  // final odd byte + fake zero high byte
+        p += 1;
+        fake += 8;
+      } else {
+        unit = 0;
+        fake += 16;
+      }
+      buf |= (uint64_t)unit << (48 - n);
+      n += 16;
+    }
+  }
+  inline uint32_t peek(int k) { return (uint32_t)(buf >> (64 - k)); }
+  inline void drop(int k) { buf <<= k; n -= k; }
+  inline uint32_t get(int k) {
+    if (n < k) fill();
+    uint32_t v = peek(k);
+    drop(k);
+    return v;
+  }
+  inline void align16() {
+    if (n > 0) fill();
+    if (n & 15) drop(n & 15);
+  }
+  // byte-aligned raw read for uncompressed blocks; bit buffer must be
+  // conceptually byte-synchronised by the caller
+  inline int raw(uint8_t* dst, int want) {
+    int got = 0;
+    while (got < want && p < end) dst[got++] = *p++;
+    return got;
+  }
+};
+
+// MSB canonical huffman, root 11 bits + subtables (codes <= 16 bits).
+struct HuffM {
+  std::vector<uint32_t> tab;
+  static constexpr int kRoot = 11;
+  static constexpr uint32_t kSub = 1u << 28;
+  bool empty = false;
+
+  // returns false on invalid table (caller decides empty-tree policy)
+  bool build(const uint8_t* lens, int nsyms) {
+    tab.assign(1u << kRoot, 0xFFFFFFFFu);
+    int count[17] = {0};
+    for (int s = 0; s < nsyms; s++) count[lens[s]]++;
+    count[0] = 0;
+    int64_t kraft = 0;
+    uint32_t next_code[18] = {0};
+    uint32_t code = 0;
+    for (int b = 1; b <= 16; b++) {
+      code = (code + count[b - 1]) << 1;
+      next_code[b] = code;
+      kraft += (int64_t)count[b] << (16 - b);
+    }
+    if (kraft > (1 << 16)) return false;  // over-subscribed
+    bool any = false;
+    for (int s = 0; s < nsyms; s++) {
+      int L = lens[s];
+      if (!L) continue;
+      any = true;
+      uint32_t c = next_code[L]++;
+      if (L <= kRoot) {
+        // left-justify to kRoot bits
+        uint32_t base = c << (kRoot - L);
+        uint32_t entry = (uint32_t)s | ((uint32_t)L << 20);
+        for (uint32_t i = 0; i < (1u << (kRoot - L)); i++)
+          tab[base + i] = entry;
+      } else {
+        uint32_t rootIdx = c >> (L - kRoot);
+        uint32_t subBase;
+        if (tab[rootIdx] == 0xFFFFFFFFu || !(tab[rootIdx] & kSub)) {
+          subBase = (uint32_t)tab.size();
+          tab.resize(tab.size() + 32, 0xFFFFFFFFu);
+          tab[rootIdx] = kSub | subBase;
+        } else {
+          subBase = tab[rootIdx] & 0xFFFFFFFu;
+        }
+        int extra = L - kRoot;  // 1..5
+        uint32_t lo = c & ((1u << extra) - 1);
+        uint32_t base = lo << (5 - extra);
+        uint32_t entry = (uint32_t)s | ((uint32_t)L << 20);
+        for (uint32_t i = 0; i < (1u << (5 - extra)); i++)
+          tab[subBase + base + i] = entry;
+      }
+    }
+    if (kraft < (1 << 16)) return false;  // under-subscribed (incomplete)
+    (void)any;
+    return true;
+  }
+
+  inline int decode(MsbBits& b) const {
+    if (b.n < 16) b.fill();
+    uint32_t e = tab[b.peek(kRoot)];
+    if (e == 0xFFFFFFFFu) return -1;
+    if (e & kSub) {
+      uint32_t sub = e & 0xFFFFFFFu;
+      uint32_t lo = (uint32_t)((b.buf << kRoot) >> (64 - 5));
+      e = tab[sub + lo];
+      if (e == 0xFFFFFFFFu) return -1;
+    }
+    b.drop((int)((e >> 20) & 0x1F));
+    return (int)(e & 0xFFFFF);
+  }
+};
+
+struct Decoder {
+  int window_bits;
+  uint32_t window_size;
+  int reset_interval;
+  int64_t output_length;
+  bool is_delta;
+  const uint8_t* ref_data;
+  uint32_t ref_len;
+
+  uint8_t maintree_len[kMaxMainSyms + 64] = {0};
+  uint8_t length_len[kLengthSyms + 64] = {0};
+  uint8_t pretree_len[kPretreeSyms + 64] = {0};
+  uint8_t aligned_len[kAlignedSyms + 64] = {0};
+  HuffM maintree, lengtht, pretree, aligned;
+  bool length_empty = false;
+
+  uint32_t R0 = 1, R1 = 1, R2 = 1;
+  bool header_read = false;
+  int block_type = 0;
+  uint32_t block_remaining = 0, block_length = 0;
+  int32_t intel_filesize = 0;
+  bool intel_started = false;
+  int num_offsets;
+
+  void reset_state() {
+    R0 = R1 = R2 = 1;
+    header_read = false;
+    block_remaining = 0;
+    block_type = 0;
+    memset(maintree_len, 0, sizeof(maintree_len));
+    memset(length_len, 0, sizeof(length_len));
+  }
+
+  // returns 0 ok
+  int read_lens(MsbBits& b, uint8_t* lens, int first, int last) {
+    for (int x = 0; x < kPretreeSyms; x++)
+      pretree_len[x] = (uint8_t)b.get(4);
+    if (!pretree.build(pretree_len, kPretreeSyms)) return 31;
+    int x = first;
+    while (x < last) {
+      int z = pretree.decode(b);
+      if (z < 0) return 32;
+      if (z == 17) {
+        int y = (int)b.get(4) + 4;
+        while (y--) lens[x++] = 0;
+      } else if (z == 18) {
+        int y = (int)b.get(5) + 20;
+        while (y--) lens[x++] = 0;
+      } else if (z == 19) {
+        int y = (int)b.get(1) + 4;
+        int zz = pretree.decode(b);
+        if (zz < 0) return 33;
+        int v = lens[x] - zz;
+        if (v < 0) v += 17;
+        while (y--) lens[x++] = (uint8_t)v;
+      } else {
+        int v = lens[x] - z;
+        if (v < 0) v += 17;
+        lens[x++] = (uint8_t)v;
+      }
+    }
+    return 0;
+  }
+
+  // decode `todo` bytes into out (flat buffer); out_pos = already decoded
+  int run(MsbBits& b, uint8_t* out, int64_t todo) {
+    int64_t pos = 0;        // bytes produced
+    int64_t frame = 0;
+    while (pos < todo) {
+      if (reset_interval && (frame % reset_interval) == 0) {
+        reset_state();
+      }
+      if (is_delta) {
+        if (b.n < 16) b.fill();
+        b.drop(16);
+      }
+      if (!header_read) {
+        uint32_t i = b.get(1), j = 0, k = 0;
+        if (i) { j = b.get(16); k = b.get(16); }
+        intel_filesize = (int32_t)((j << 16) | k);
+        header_read = true;
+      }
+      int64_t frame_size = kFrame;
+      if (output_length && output_length - pos < frame_size)
+        frame_size = output_length - pos;
+      if (frame_size > todo - pos) {
+        // caller wants less than a frame; decode the full frame anyway
+        // is not needed here because todo == output_length in this API
+        frame_size = todo - pos;
+      }
+
+      int64_t frame_end = pos + frame_size;
+      while (pos < frame_end) {
+        if (block_remaining == 0) {
+          if (block_type == 3 && (block_length & 1) && b.p < b.end) b.p++;
+          block_type = (int)b.get(3);
+          uint32_t i = b.get(16), j = b.get(8);
+          block_remaining = block_length = (i << 8) | j;
+          if (block_type == 2) {
+            for (int k = 0; k < 8; k++) aligned_len[k] = (uint8_t)b.get(3);
+            if (!aligned.build(aligned_len, kAlignedSyms)) return 34;
+          }
+          if (block_type == 1 || block_type == 2) {
+            int r;
+            if ((r = read_lens(b, maintree_len, 0, 256))) return r;
+            if ((r = read_lens(b, maintree_len, 256, 256 + num_offsets)))
+              return r;
+            if (!maintree.build(maintree_len, kMaxMainSyms)) return 35;
+            if (maintree_len[0xE8]) intel_started = true;
+            if ((r = read_lens(b, length_len, 0, 249))) return r;
+            length_empty = !lengtht.build(length_len, kLengthSyms);
+            if (length_empty) {
+              for (int k = 0; k < kLengthSyms; k++)
+                if (length_len[k]) return 36;  // invalid, not just empty
+            }
+          } else if (block_type == 3) {
+            intel_started = true;
+            if (b.n == 0) b.fill();
+            b.n = 0;
+            b.buf = 0;
+            uint8_t hdr[12];
+            if (b.raw(hdr, 12) != 12) return 37;
+            R0 = (uint32_t)hdr[0] | ((uint32_t)hdr[1] << 8) |
+                 ((uint32_t)hdr[2] << 16) | ((uint32_t)hdr[3] << 24);
+            R1 = (uint32_t)hdr[4] | ((uint32_t)hdr[5] << 8) |
+                 ((uint32_t)hdr[6] << 16) | ((uint32_t)hdr[7] << 24);
+            R2 = (uint32_t)hdr[8] | ((uint32_t)hdr[9] << 8) |
+                 ((uint32_t)hdr[10] << 16) | ((uint32_t)hdr[11] << 24);
+          } else {
+            return 38;
+          }
+        }
+        int64_t this_run = block_remaining;
+        if (this_run > frame_end - pos) this_run = frame_end - pos;
+        block_remaining -= (uint32_t)this_run;
+        int64_t run_end = pos + this_run;
+
+        if (block_type == 1 || block_type == 2) {
+          bool al = block_type == 2;
+          while (pos < run_end) {
+            int sym = maintree.decode(b);
+            if (sym < 0) return 39;
+            if (sym < kNumChars) {
+              out[pos++] = (uint8_t)sym;
+              continue;
+            }
+            sym -= kNumChars;
+            uint32_t match_len = sym & 7;
+            if (match_len == 7) {
+              if (length_empty) return 40;
+              int lf = lengtht.decode(b);
+              if (lf < 0) return 41;
+              match_len += (uint32_t)lf;
+            }
+            match_len += 2;
+            uint32_t slot = (uint32_t)sym >> 3;
+            uint32_t offset;
+            if (slot == 0) offset = R0;
+            else if (slot == 1) { offset = R1; R1 = R0; R0 = offset; }
+            else if (slot == 2) { offset = R2; R2 = R0; R0 = offset; }
+            else {
+              int extra = slot >= 36 ? 17 : kT.extra_bits[slot];
+              offset = kT.pos_base[slot] - 2;
+              if (extra >= 3 && al) {
+                if (extra > 3) offset += b.get(extra - 3) << 3;
+                int ab = aligned.decode(b);
+                if (ab < 0) return 42;
+                offset += (uint32_t)ab;
+              } else if (extra) {
+                offset += b.get(extra);
+              }
+              R2 = R1; R1 = R0; R0 = offset;
+            }
+            if (match_len == 257 && is_delta) {
+              if (b.n < 3) b.fill();
+              uint32_t e;
+              if (b.peek(1) == 0) { b.drop(1); e = b.get(8); }
+              else if (b.peek(2) == 2) { b.drop(2); e = b.get(10) + 0x100; }
+              else if (b.peek(3) == 6) { b.drop(3); e = b.get(12) + 0x500; }
+              else { b.drop(3); e = b.get(15); }
+              match_len += e;
+            }
+            if (offset > window_size) return 43;
+            int64_t src = pos - (int64_t)offset;
+            if (pos + match_len > todo + kFrame) return 44;
+            if (src < 0) {
+              // LZX DELTA reference data at the window tail
+              int64_t need = -src;
+              if (need > (int64_t)ref_len) return 45;
+              const uint8_t* rs = ref_data + (ref_len - need);
+              uint32_t first = (uint32_t)(need < (int64_t)match_len
+                                              ? need : (int64_t)match_len);
+              for (uint32_t k = 0; k < first; k++) out[pos + k] = rs[k];
+              for (uint32_t k = first; k < match_len; k++)
+                out[pos + k] = out[k - first];
+              pos += match_len;
+            } else {
+              uint8_t* dst = out + pos;
+              const uint8_t* sp = out + src;
+              if (offset >= match_len) {
+                memcpy(dst, sp, match_len);
+              } else if (offset >= 8) {
+                uint32_t done = 0;
+                while (done < match_len) {
+                  uint32_t chunk = offset < match_len - done
+                                       ? offset : match_len - done;
+                  memcpy(dst + done, sp + done, chunk);
+                  done += chunk;
+                }
+              } else {
+                for (uint32_t k = 0; k < match_len; k++) dst[k] = sp[k];
+              }
+              pos += match_len;
+            }
+          }
+        } else {  // uncompressed
+          int64_t need = this_run;
+          while (need > 0) {
+            int got = b.raw(out + pos, (int)need);
+            if (got <= 0) return 46;
+            pos += got;
+            need -= got;
+          }
+        }
+        // overrun handling: a final match may exceed run_end
+        if (pos > run_end) {
+          int64_t over = pos - run_end;
+          if ((uint64_t)over > block_remaining) return 47;
+          block_remaining -= (uint32_t)over;
+        }
+      }
+      if (pos - (frame * kFrame) > kFrame) {
+        // keep frame accounting exact
+      }
+      b.align16();
+
+      // E8 decode on the completed frame
+      int64_t fstart = frame * kFrame;
+      int64_t flen = pos - fstart;
+      if (intel_started && intel_filesize && frame < 32768 && flen > 10) {
+        uint8_t* data = out + fstart;
+        int64_t i = 0, dataend = flen - 10;
+        int32_t curpos = (int32_t)fstart;
+        while (i < dataend) {
+          if (data[i] != 0xE8) { i++; curpos++; continue; }
+          i++;
+          int32_t abs_off = (int32_t)((uint32_t)data[i] |
+                                      ((uint32_t)data[i + 1] << 8) |
+                                      ((uint32_t)data[i + 2] << 16) |
+                                      ((uint32_t)data[i + 3] << 24));
+          if (abs_off >= -curpos && abs_off < intel_filesize) {
+            uint32_t rel = (uint32_t)(abs_off >= 0 ? abs_off - curpos
+                                                   : abs_off + intel_filesize);
+            data[i] = (uint8_t)rel;
+            data[i + 1] = (uint8_t)(rel >> 8);
+            data[i + 2] = (uint8_t)(rel >> 16);
+            data[i + 3] = (uint8_t)(rel >> 24);
+          }
+          i += 4;
+          curpos += 5;
+        }
+      }
+      frame++;
+    }
+    return 0;
+  }
+};
+
+}  // namespace lzx
+
+// ============================================================== Quantum
+// Sequential adaptive arithmetic decoder (reference semantics: qtmd.c
+// via codecs/qtm.py). One stream per CAB folder; folders thread.
+
+namespace qtm {
+
+constexpr int kFrame = 32768;
+
+struct Tables {
+  uint8_t extra_bits[42];
+  uint32_t pos_base[42];
+  uint8_t len_extra[27];
+  uint8_t len_base[27];
+  Tables() {
+    uint32_t off = 0;
+    for (int i = 0; i < 42; i++) {
+      extra_bits[i] = (uint8_t)((i < 2 ? 0 : i - 2) >> 1);
+      pos_base[i] = off;
+      off += 1u << extra_bits[i];
+    }
+    uint32_t loff = 0;
+    for (int i = 0; i < 27; i++) {
+      len_extra[i] = (uint8_t)((i < 2 ? 0 : i - 2) >> 2);
+      len_base[i] = (uint8_t)loff;
+      loff += 1u << len_extra[i];
+    }
+    len_base[26] = 254;
+    len_extra[26] = 0;
+  }
+};
+static const Tables kQ;
+
+// MSB bitstream over 16-bit BIG-endian units (qtmd.c:30-35).
+struct QBits {
+  const uint8_t* p;
+  const uint8_t* end;
+  uint64_t buf = 0;
+  int n = 0;
+
+  QBits(const uint8_t* d, size_t len) : p(d), end(d + len) {}
+  inline void fill() {
+    while (n <= 48) {
+      uint32_t unit;
+      if (p + 1 < end) {
+        unit = ((uint32_t)p[0] << 8) | (uint32_t)p[1];
+        p += 2;
+      } else if (p < end) {
+        unit = (uint32_t)p[0] << 8;
+        p += 1;
+      } else {
+        unit = 0;
+      }
+      buf |= (uint64_t)unit << (48 - n);
+      n += 16;
+    }
+  }
+  inline uint32_t get(int k) {
+    if (k == 0) return 0;
+    if (n < k) fill();
+    uint32_t v = (uint32_t)(buf >> (64 - k));
+    buf <<= k;
+    n -= k;
+    return v;
+  }
+};
+
+struct Model {
+  int entries;
+  int shiftsleft;
+  uint16_t sym[65];
+  uint16_t cum[65];
+
+  void init(int start, int len) {
+    shiftsleft = 4;
+    entries = len;
+    for (int i = 0; i <= len; i++) {
+      sym[i] = (uint16_t)(start + i);
+      cum[i] = (uint16_t)(len - i);
+    }
+  }
+  void update() {
+    if (--shiftsleft) {
+      for (int i = entries - 1; i >= 0; i--) {
+        cum[i] >>= 1;
+        if (cum[i] <= cum[i + 1]) cum[i] = cum[i + 1] + 1;
+      }
+    } else {
+      shiftsleft = 50;
+      for (int i = 0; i < entries; i++) {
+        cum[i] = (uint16_t)(((cum[i] - cum[i + 1]) + 1) >> 1);
+      }
+      // in-place selection sort by frequency, decreasing (stability
+      // characteristics must match the reference, qtmd.c:148-159)
+      for (int i = 0; i < entries - 1; i++) {
+        for (int j = i + 1; j < entries; j++) {
+          if (cum[i] < cum[j]) {
+            uint16_t t = cum[i]; cum[i] = cum[j]; cum[j] = t;
+            t = sym[i]; sym[i] = sym[j]; sym[j] = t;
+          }
+        }
+      }
+      for (int i = entries - 1; i >= 0; i--)
+        cum[i] = (uint16_t)(cum[i] + cum[i + 1]);
+    }
+  }
+};
+
+struct Decoder {
+  uint32_t window_size;
+  Model m0, m1, m2, m3, m4, m5, m6, m6len, m7;
+  uint16_t H = 0, L = 0, C = 0;
+  bool header_read = false;
+
+  void init(int window_bits) {
+    window_size = 1u << window_bits;
+    int i = window_bits * 2;
+    m0.init(0, 64); m1.init(64, 64); m2.init(128, 64); m3.init(192, 64);
+    m4.init(0, i > 24 ? 24 : i);
+    m5.init(0, i > 36 ? 36 : i);
+    m6.init(0, i);
+    m6len.init(0, 27);
+    m7.init(0, 7);
+  }
+
+  int get_symbol(QBits& b, Model& m) {
+    uint32_t range = ((uint32_t)(uint16_t)(H - L) & 0xFFFF) + 1;
+    uint32_t symf = ((((uint32_t)(uint16_t)(C - L) + 1) * m.cum[0] - 1)
+                     / range) & 0xFFFF;
+    int i = 1;
+    while (i < m.entries && m.cum[i] > symf) i++;
+    int s = m.sym[i - 1];
+
+    range = (uint32_t)(H - L) + 1;
+    uint32_t total = m.cum[0];
+    H = (uint16_t)(L + (m.cum[i - 1] * range) / total - 1);
+    L = (uint16_t)(L + (m.cum[i] * range) / total);
+
+    for (int j = i - 1; j >= 0; j--) m.cum[j] = (uint16_t)(m.cum[j] + 8);
+    if (m.cum[0] > 3800) m.update();
+
+    for (;;) {
+      if ((L & 0x8000) != (H & 0x8000)) {
+        if ((L & 0x4000) && !(H & 0x4000)) {
+          C ^= 0x4000; L &= 0x3FFF; H |= 0x4000;
+        } else {
+          break;
+        }
+      }
+      L = (uint16_t)(L << 1);
+      H = (uint16_t)((H << 1) | 1);
+      C = (uint16_t)((C << 1) | b.get(1));
+    }
+    return s;
+  }
+
+  // decode out_len bytes into flat buffer
+  int run(QBits& b, uint8_t* out, int64_t out_len) {
+    int64_t pos = 0;
+    int64_t frame_todo = kFrame;
+    while (pos < out_len) {
+      if (!header_read) {
+        H = 0xFFFF; L = 0;
+        C = (uint16_t)b.get(16);
+        header_read = true;
+      }
+      int sel = get_symbol(b, m7);
+      uint32_t match_len, match_off;
+      if (sel < 4) {
+        Model* mdl = sel == 0 ? &m0 : sel == 1 ? &m1 : sel == 2 ? &m2 : &m3;
+        int s = get_symbol(b, *mdl);
+        out[pos++] = (uint8_t)s;
+        frame_todo--;
+      } else {
+        if (sel == 4) {
+          int s = get_symbol(b, m4);
+          match_off = kQ.pos_base[s] + b.get(kQ.extra_bits[s]) + 1;
+          match_len = 3;
+        } else if (sel == 5) {
+          int s = get_symbol(b, m5);
+          match_off = kQ.pos_base[s] + b.get(kQ.extra_bits[s]) + 1;
+          match_len = 4;
+        } else if (sel == 6) {
+          int s = get_symbol(b, m6len);
+          match_len = kQ.len_base[s] + b.get(kQ.len_extra[s]) + 5;
+          s = get_symbol(b, m6);
+          match_off = kQ.pos_base[s] + b.get(kQ.extra_bits[s]) + 1;
+        } else {
+          return 71;
+        }
+        // flat-buffer source resolution: the ring window holds the last
+        // window_size output bytes, so src = pos - off when in range.
+        // off > pos would read pre-history (uninitialised in the
+        // reference) -> reject to scalar path.
+        if (match_off > window_size || (int64_t)match_off > pos) return 72;
+        if (pos + match_len > out_len + kFrame) return 73;
+        const uint8_t* sp = out + pos - match_off;
+        uint8_t* dst = out + pos;
+        if (match_off >= match_len) {
+          memcpy(dst, sp, match_len);
+        } else {
+          for (uint32_t k = 0; k < match_len; k++) dst[k] = sp[k];
+        }
+        pos += match_len;
+        frame_todo -= match_len;
+      }
+      if (frame_todo < 0) return 74;
+      if (frame_todo == 0) {
+        // realign to byte, scan forward to the 0xFF trailer
+        if (b.n & 7) { b.buf <<= (b.n & 7); b.n -= (b.n & 7); }
+        int guard = 0;
+        for (;;) {
+          if (b.p >= b.end && b.n <= 0) return 75;
+          uint32_t v = b.get(8);
+          if (v == 0xFF) break;
+          if (++guard > 8) return 76;
+        }
+        header_read = false;
+        frame_todo = kFrame;
+      }
+    }
+    return 0;
+  }
+};
+
+}  // namespace qtm
+
 extern "C" {
 
 // Decode one MSZIP folder: frames[i] are the deflate streams (CK
@@ -485,6 +1134,73 @@ int msp_mszip_tokenize_only(const uint8_t* const* frames,
   int64_t total = 0;
   for (auto& t : toks) total += t.out_len;
   return (int)(total & 0x7FFFFFFF);
+}
+
+
+// Decode one LZX stream (whole folder / CHM chunk) into a flat buffer.
+// Returns 0 on success. matches into DELTA reference data supported.
+int msp_lzx_decode(const uint8_t* stream, uint64_t stream_len,
+                   int window_bits, int reset_interval_frames,
+                   int64_t output_length, int is_delta,
+                   const uint8_t* ref_data, uint32_t ref_len,
+                   uint8_t* out, uint64_t out_cap) {
+  if (is_delta ? (window_bits < 17 || window_bits > 25)
+               : (window_bits < 15 || window_bits > 21))
+    return 60;
+  if ((uint64_t)output_length > out_cap) return 61;
+  lzx::Decoder d;
+  d.window_bits = window_bits;
+  d.window_size = 1u << window_bits;
+  d.reset_interval = reset_interval_frames;
+  d.output_length = output_length;
+  d.is_delta = is_delta != 0;
+  d.ref_data = ref_data;
+  d.ref_len = ref_len;
+  d.num_offsets = (int)lzx::kPosSlots[window_bits - 15] << 3;
+  d.reset_state();
+  lzx::MsbBits b(stream, stream_len);
+  return d.run(b, out, output_length);
+}
+
+// Decode many LZX streams concurrently (one thread per stream).
+int msp_lzx_many(const uint8_t* const* streams, const uint64_t* stream_lens,
+                 const int* window_bits, const int* reset_intervals,
+                 const int64_t* out_lens, int n, uint8_t* out,
+                 const int64_t* out_offsets, int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      int r = msp_lzx_decode(streams[i], stream_lens[i], window_bits[i],
+                             reset_intervals[i], out_lens[i], 0, nullptr, 0,
+                             out + out_offsets[i],
+                             (uint64_t)(out_offsets[i + 1] - out_offsets[i]));
+      if (r) err.store(r);
+    }
+  };
+  int nt = n_threads < 1 ? 1 : (n_threads < n ? n_threads : n);
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nt; t++) ths.emplace_back(worker);
+  for (auto& t : ths) t.join();
+  return err.load();
+}
+
+
+// Decode one Quantum stream (CAB folder; 0xFF trailer byte appended to
+// each block by the caller, matching cabd.c:1327-1332).
+int msp_qtm_decode(const uint8_t* stream, uint64_t stream_len,
+                   int window_bits, int64_t out_len, uint8_t* out,
+                   uint64_t out_cap) {
+  if (window_bits < 10 || window_bits > 21) return 70;
+  if ((uint64_t)out_len > out_cap) return 61;
+  // flat-buffer decode only valid while matches stay within history;
+  // window wrap (output > window) is handled by the ring equivalence
+  qtm::Decoder d;
+  d.init(window_bits);
+  qtm::QBits b(stream, stream_len);
+  return d.run(b, out, out_len);
 }
 
 int msp_version(void) { return 1; }

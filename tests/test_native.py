@@ -107,3 +107,67 @@ def test_cab_native_engine_matches_scalar():
         d1.extract(a, s1)
         d2.extract(b, s2)
         assert s1.getvalue() == s2.getvalue()
+
+
+def test_native_lzx_cab_folder():
+    """Native LZX on our stored-block cabs + the reference golden."""
+    rng = random.Random(41)
+    data = bytes(rng.choice(b"lzxdata!") for _ in range(90000))
+    cab_bytes = cab_c.write_cab(files=[("z.bin", data)], compression="lzx",
+                                window_bits=16)
+    d = CabDecompressor(engine="native")
+    cab = d.open(cab_bytes)
+    s = BytesSink()
+    d.extract(cab.files[0], s)
+    assert s.getvalue() == data
+
+    path = os.path.join(oracle.REF_TEST_FILES, "cabd", "mszip_lzx_qtm.cab")
+    d2 = CabDecompressor(engine="native")
+    cab2 = d2.open(path)
+    f = next(f for f in cab2.files if (f.folder.comp_type & 0xF) == 3)
+    s2 = BytesSink()
+    d2.extract(f, s2)
+    assert hashlib.md5(s2.getvalue()).hexdigest() == \
+        "703474293b614e7110b3eb8ac2762b53"
+
+
+def test_native_lzx_chm():
+    from libmspack_tpu.compress import chm_c
+    from libmspack_tpu.formats.chm import ChmDecompressor
+    rng = random.Random(42)
+    files = [(f"/n{i}.bin", bytes(rng.randrange(256) for _ in range(30000)))
+             for i in range(3)]
+    blob = chm_c.write_chm(files, window_bits=16, reset_frames=2)
+    d = ChmDecompressor(engine="native")
+    chm = d.open(blob)
+    expect = dict(files)
+    for f in chm.files:
+        s = BytesSink()
+        d.extract(f, s)
+        assert s.getvalue() == expect[f.filename], f.filename
+
+
+def test_native_lzx_matches_scalar_on_real_lzx():
+    """Entropy-coded (non-stored) LZX: reference test cab decoded by
+    native vs scalar engine."""
+    path = os.path.join(oracle.REF_TEST_FILES, "cabd",
+                        "normal_2files_2folders.cab")
+    d1 = CabDecompressor()
+    d2 = CabDecompressor(engine="native")
+    c1, c2 = d1.open(path), d2.open(path)
+    for a, b in zip(c1.files, c2.files):
+        s1, s2 = BytesSink(), BytesSink()
+        d1.extract(a, s1)
+        d2.extract(b, s2)
+        assert s1.getvalue() == s2.getvalue(), a.filename
+
+
+def test_native_qtm_golden():
+    path = os.path.join(oracle.REF_TEST_FILES, "cabd", "mszip_lzx_qtm.cab")
+    d = CabDecompressor(engine="native")
+    cab = d.open(path)
+    f = next(f for f in cab.files if (f.folder.comp_type & 0xF) == 2)
+    s = BytesSink()
+    d.extract(f, s)
+    assert hashlib.md5(s.getvalue()).hexdigest() == \
+        "98fcfa4962a0f169a3c7fdbcb445cf17"
