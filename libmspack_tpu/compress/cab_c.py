@@ -2,8 +2,8 @@
 
 The reference's CAB compressor is a stub (reference: cabc.c:15-24);
 this writer exceeds reference capability. Supported folder codecs:
-NONE, MSZIP (zlib-deflated frames), LZX (uncompressed-block streams,
-upgraded transparently when the entropy encoder lands).
+NONE, MSZIP (zlib-deflated frames), LZX (entropy-coded via lzx_e;
+"lzx_stored" selects the uncompressed-block encoder).
 
 Layout (reference: cab.h:15-45 structure offsets):
 CFHEADER + CFFOLDERs + CFFILEs + per-folder CFDATA block chains, with
@@ -12,7 +12,7 @@ the standard per-block XOR checksum.
 from __future__ import annotations
 
 from ..formats.cab import _checksum
-from . import lzx_c, mszip_c
+from . import lzx_c, lzx_e, mszip_c
 
 BLOCKMAX = 32768
 
@@ -46,9 +46,13 @@ def _encode_folder_blocks(spec: FolderSpec) -> tuple[int, list[tuple[bytes, int]
         for i, p in enumerate(payloads):
             uncomp = min(BLOCKMAX, len(data) - i * BLOCKMAX)
             blocks.append((p, uncomp))
-    elif spec.compression == "lzx":
+    elif spec.compression in ("lzx", "lzx_stored"):
         comp_type = 3 | (spec.window_bits << 8)
-        stream, offsets = lzx_c.compress_stored(data)
+        if spec.compression == "lzx":
+            # CAB LZX never resets (reference: cabd.c:1249-1250)
+            stream, offsets = lzx_e.compress(data, spec.window_bits)
+        else:
+            stream, offsets = lzx_c.compress_stored(data)
         for i, off in enumerate(offsets):
             end = offsets[i + 1] if i + 1 < len(offsets) else len(stream)
             uncomp = min(BLOCKMAX, len(data) - i * BLOCKMAX)

@@ -3,8 +3,7 @@
 The reference documents a CHM compressor API but ships only a stub
 (reference: chmc.c, mspack.h:1418-1568); this writer exceeds reference
 capability. Produces ITSF v2 files: PMGL directory chunks with real
-quickref entries, an LZX-compressed section 1 (uncompressed-block
-encoder from lzx_c), and the four MSCompressed system files
+quickref entries, an entropy-coded LZX section 1 (lzx_e), and the four MSCompressed system files
 (Content / ControlData / SpanInfo / ResetTable) that decoders need for
 random access.
 """
@@ -15,7 +14,7 @@ import struct
 
 from ..formats.chm import (CONTENT_NAME, CONTROL_NAME, RTABLE_NAME,
                            SPANINFO_NAME, _compare)
-from . import lzx_c
+from . import lzx_e
 
 CHUNK_SIZE = 4096
 FRAME_SIZE = 32768
@@ -124,8 +123,8 @@ def write_chm(files: list[tuple[str, bytes]], window_bits: int = 16,
                      (len(content) + interval_bytes - 1)
                      // interval_bytes * interval_bytes)
     padded = content + b"\x00" * (padded_len - len(content))
-    stream, frame_offsets = lzx_c.compress_stored(padded,
-                                                  reset_interval=reset_frames)
+    stream, frame_offsets = lzx_e.compress(padded, window_bits,
+                                           reset_interval=reset_frames)
     # ResetTable wants an entry per frame (byte offset into the stream);
     # only offsets at reset boundaries are valid decode entry points, but
     # the table carries every frame offset

@@ -1,13 +1,14 @@
 """OAB writer (compress path) — full downloads and incremental patches.
 
 The reference has no OAB compressor (reference: oabc.c stub). Blocks
-use the stored-block LZX DELTA encoder (lzx_c) or raw copies; CRCs use
-the format's un-inverted CRC-32.
+use the entropy-coded LZX DELTA encoder (lzx_e) — incremental patches
+reference the base file for real delta savings — or raw copies; CRCs
+use the format's un-inverted CRC-32.
 """
 from __future__ import annotations
 
 from ..formats.oab import crc32_raw
-from . import lzx_c
+from . import lzx_e
 
 
 def write_oab(data: bytes, block_size: int = 65536,
@@ -23,7 +24,10 @@ def write_oab(data: bytes, block_size: int = 65536,
         if not chunk and data:
             break
         if compress:
-            stream, _ = lzx_c.compress_stored(chunk, is_delta=True)
+            wb = 17
+            while wb < 25 and (1 << wb) < len(chunk):
+                wb += 1
+            stream, _ = lzx_e.compress(chunk, wb, is_delta=True)
             crc = crc32_raw(chunk)
             out += (1).to_bytes(4, "little")
             out += len(stream).to_bytes(4, "little")
@@ -58,8 +62,13 @@ def write_oab_patch(target: bytes, base: bytes,
         if not chunk and target:
             break
         ssize = min(block_size, len(base) - bpos) if bpos < len(base) else 0
+        ref = base[bpos : bpos + ssize]
         bpos += ssize
-        stream, _ = lzx_c.compress_stored(chunk, is_delta=True)
+        wsz = ((ssize + 32767) & ~32767) + len(chunk)
+        wb = 17
+        while wb < 25 and (1 << wb) < wsz:
+            wb += 1
+        stream, _ = lzx_e.compress(chunk, wb, is_delta=True, ref_data=ref)
         out += len(stream).to_bytes(4, "little")
         out += len(chunk).to_bytes(4, "little")
         out += ssize.to_bytes(4, "little")
