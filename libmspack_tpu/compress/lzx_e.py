@@ -570,6 +570,19 @@ class LzxEncoder:
 
 def compress(data: bytes, window_bits: int, reset_interval: int = 0,
              is_delta: bool = False, ref_data: bytes = b"",
-             max_chain: int = 64) -> tuple[bytes, list[int]]:
+             max_chain: int = 64,
+             engine: str = "auto") -> tuple[bytes, list[int]]:
+    """Encode one LZX stream. engine: "auto" prefers the native C++
+    encoder (msp_lzx_encode, ~50x faster, same algorithm), "python"
+    forces this module's reference implementation."""
+    if engine == "auto":
+        try:
+            from .. import native
+            r = native.lzx_encode(data, window_bits, reset_interval,
+                                  is_delta, ref_data, max_chain)
+            if r is not None:
+                return r
+        except Exception:
+            pass
     return LzxEncoder(window_bits, reset_interval, is_delta,
                       max_chain).compress(data, ref_data=ref_data)

@@ -53,6 +53,8 @@ def lib():
         _lib.msp_lzss.restype = ctypes.c_int64
         _lib.msp_lzx_decode.restype = ctypes.c_int
         _lib.msp_lzx_many.restype = ctypes.c_int
+        _lib.msp_lzx_encode.restype = ctypes.c_int64
+        _lib.msp_lzx_encode_many.restype = ctypes.c_int
         _lib.msp_qtm_decode.restype = ctypes.c_int
     return _lib
 
@@ -177,6 +179,27 @@ def lzx_decode(stream: bytes, window_bits: int, reset_interval: int,
     if r != 0:
         return None
     return out.tobytes()[:out_len]
+
+
+def lzx_encode(data: bytes, window_bits: int, reset_interval: int = 0,
+               is_delta: bool = False, ref_data: bytes = b"",
+               max_chain: int = 64) -> tuple[bytes, list[int]] | None:
+    """Entropy-encode one LZX stream (native port of compress/lzx_e).
+
+    Returns (stream, per-frame byte offsets) or None on failure."""
+    L = lib()
+    nframes = max(1, (len(data) + 32767) // 32768)
+    cap = len(data) + 64 * nframes + 4096
+    out = ctypes.create_string_buffer(cap)
+    offs = (ctypes.c_uint64 * nframes)()
+    r = L.msp_lzx_encode(
+        data, ctypes.c_uint64(len(data)), window_bits, reset_interval,
+        1 if is_delta else 0, ref_data or None,
+        ctypes.c_uint64(len(ref_data)), max_chain, out,
+        ctypes.c_uint64(cap), offs)
+    if r < 0:
+        return None
+    return out.raw[: int(r)], list(offs)
 
 
 def qtm_decode(stream: bytes, window_bits: int, out_len: int) -> bytes | None:

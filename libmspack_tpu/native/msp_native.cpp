@@ -15,6 +15,7 @@
 //
 // Exposed as a flat C ABI consumed via ctypes (no pybind11 in image).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -986,6 +987,621 @@ struct Decoder {
 
 }  // namespace qtm
 
+
+// ============================================================ LZX encode
+// Entropy-coded LZX encoder (native port of compress/lzx_e.py). The
+// reference has no LZX compressor at all (reference: lzxc.c:18 stub);
+// format semantics are those pinned by the decoder above (lzxd.c).
+// One VERBATIM/ALIGNED/UNCOMPRESSED block per 32 KiB frame, chosen by
+// measured bit cost; greedy hash-chain matching with R0-R2 repeated-
+// offset priority; trees delta-coded against the previous block via
+// the 20-symbol pretree with run codes 17/18/19.
+
+namespace lzxe {
+
+using lzx::kT;
+using lzx::kPosSlots;
+constexpr int kFrame = 32768;
+constexpr int kNumChars = 256;
+constexpr int kSecondary = 249;
+
+// ------------------------------------------------------------- writer
+// MSB-first bits packed into 16-bit little-endian units.
+struct BitOut {
+  std::vector<uint8_t> out;
+  uint64_t pend = 0;
+  int cnt = 0;
+
+  inline void put(uint32_t v, int nbits) {
+    pend = (pend << nbits) | (v & ((nbits == 32 ? 0xFFFFFFFFull : ((1ull << nbits) - 1))));
+    cnt += nbits;
+    while (cnt >= 16) {
+      uint32_t unit = (uint32_t)(pend >> (cnt - 16)) & 0xFFFF;
+      out.push_back((uint8_t)(unit & 0xFF));
+      out.push_back((uint8_t)(unit >> 8));
+      cnt -= 16;
+    }
+    pend &= (1ull << cnt) - 1;
+  }
+  inline void align16() { put(0, cnt ? 16 - cnt : 16); }
+  inline void bytes(const uint8_t* p, size_t n) {
+    out.insert(out.end(), p, p + n);
+  }
+};
+
+// ------------------------------------------- length-limited huffman
+// Huffman depths via the in-place sorted-array method, then zlib-style
+// overflow redistribution to the limit; resulting code is always
+// Kraft-complete (the decoder rejects incomplete tables).
+static void make_lengths(const uint32_t* freq, int n, int limit,
+                         uint8_t* lens) {
+  std::vector<int> used;
+  used.reserve(n);
+  for (int i = 0; i < n; i++) {
+    lens[i] = 0;
+    if (freq[i]) used.push_back(i);
+  }
+  if (used.empty()) return;
+  if (used.size() == 1) {
+    int s = used[0];
+    lens[s] = 1;
+    lens[s + 1 < n ? s + 1 : s - 1] = 1;
+    return;
+  }
+  int m = (int)used.size();
+  // heap-free Huffman: sort leaves by freq, merge with a second queue
+  std::vector<std::pair<uint64_t, int>> leaves(m);  // (freq, used-index)
+  for (int i = 0; i < m; i++) leaves[i] = {freq[used[i]], i};
+  std::sort(leaves.begin(), leaves.end());
+  std::vector<uint64_t> nodew(2 * m);
+  std::vector<int> parent(2 * m, -1);
+  int li = 0, qi = m, qh = m;  // internal nodes at [m, qi)
+  auto takemin = [&]() -> int {
+    if (li < m && (qh >= qi || leaves[li].first <= nodew[qh]))
+      return li++;
+    return qh++;
+  };
+  for (int k = 0; k < m - 1; k++) {
+    int a = takemin(), b = takemin();
+    uint64_t wa = a < m ? leaves[a].first : nodew[a];
+    uint64_t wb = b < m ? leaves[b].first : nodew[b];
+    nodew[qi] = wa + wb;
+    parent[a] = qi;
+    parent[b] = qi;
+    qi++;
+  }
+  // depth of each leaf
+  std::vector<int> depth(2 * m, 0);
+  for (int k = qi - 1; k >= m; k--)
+    depth[k] = parent[k] < 0 ? 0 : depth[parent[k]] + 1;
+  int bl_count[64] = {0};
+  int maxd = 0;
+  std::vector<int> leafdepth(m);
+  for (int i = 0; i < m; i++) {
+    int d = depth[parent[i]] + 1;
+    leafdepth[i] = d;
+    if (d > maxd) maxd = d;
+  }
+  if (maxd > limit) {
+    // clamp and redistribute (zlib tree.c discipline)
+    for (int i = 0; i < m; i++)
+      if (leafdepth[i] > limit) leafdepth[i] = limit;
+    int64_t kraft = 0;
+    for (int i = 0; i < m; i++) kraft += 1ll << (limit - leafdepth[i]);
+    // overflow: push shallow symbols deeper (smallest kraft step first:
+    // deepest candidates < limit)
+    while (kraft > (1ll << limit)) {
+      int pick = -1, pd = -1;
+      for (int i = 0; i < m; i++)
+        if (leafdepth[i] < limit && leafdepth[i] > pd) {
+          pd = leafdepth[i];
+          pick = i;
+        }
+      leafdepth[pick]++;
+      kraft -= 1ll << (limit - leafdepth[pick]);
+    }
+    // deficit: promote the deepest symbols (unit steps available at
+    // len == limit, so this always lands exactly on completeness)
+    while (kraft < (1ll << limit)) {
+      int64_t deficit = (1ll << limit) - kraft;
+      int pick = -1, pd = -1;
+      for (int i = 0; i < m; i++) {
+        int d = leafdepth[i];
+        if (d > 1 && (1ll << (limit - d)) <= deficit && d > pd) {
+          pd = d;
+          pick = i;
+        }
+      }
+      leafdepth[pick]--;
+      kraft += 1ll << (limit - leafdepth[pick]);
+    }
+  }
+  (void)bl_count;
+  for (int i = 0; i < m; i++) lens[used[leaves[i].second]] = (uint8_t)leafdepth[i];
+}
+
+// canonical MSB codes in (length asc, symbol asc) order — the decoder's
+// make_decode_table assignment (readhuff.h:83-176)
+static void canonical_codes(const uint8_t* lens, int n, uint16_t* codes) {
+  int count[18] = {0};
+  for (int i = 0; i < n; i++) count[lens[i]]++;
+  count[0] = 0;
+  uint32_t next[18] = {0};
+  uint32_t code = 0;
+  for (int b = 1; b <= 17; b++) {
+    code = (code + count[b - 1]) << 1;
+    next[b] = code;
+  }
+  for (int i = 0; i < n; i++)
+    codes[i] = lens[i] ? (uint16_t)next[lens[i]]++ : 0;
+}
+
+// ------------------------------------------------ pretree emission
+struct LenOp {
+  uint8_t sym;     // pretree symbol 0..19
+  uint8_t ebits;   // raw extra bits after it (0 if none)
+  uint8_t extra;   // extra value
+  uint8_t sym2;    // second pretree symbol for code 19 (0xFF if none)
+};
+
+static void len_ops(const uint8_t* prev, const uint8_t* now, int first,
+                    int last, std::vector<LenOp>& ops) {
+  int x = first;
+  while (x < last) {
+    int v = now[x];
+    int run = 1;
+    while (x + run < last && now[x + run] == v) run++;
+    if (v == 0) {
+      while (run >= 20) {
+        int t = run > 51 ? 51 : run;
+        ops.push_back({18, 5, (uint8_t)(t - 20), 0xFF});
+        run -= t;
+        x += t;
+      }
+      while (run >= 4) {
+        int t = run > 19 ? 19 : run;
+        ops.push_back({17, 4, (uint8_t)(t - 4), 0xFF});
+        run -= t;
+        x += t;
+      }
+    }
+    while (run >= 4) {
+      int t = run == 8 ? 4 : (run >= 5 ? 5 : 4);
+      uint8_t z = (uint8_t)(((int)prev[x] - v + 17) % 17);
+      ops.push_back({19, 1, (uint8_t)(t - 4), z});
+      run -= t;
+      x += t;
+    }
+    while (run > 0) {
+      ops.push_back({(uint8_t)(((int)prev[x] - v + 17) % 17), 0, 0, 0xFF});
+      run--;
+      x++;
+    }
+  }
+}
+
+static int64_t lens_cost(const uint8_t* prev, const uint8_t* now, int first,
+                         int last) {
+  std::vector<LenOp> ops;
+  len_ops(prev, now, first, last, ops);
+  uint32_t freq[20] = {0};
+  int64_t extra = 0;
+  for (auto& op : ops) {
+    freq[op.sym]++;
+    if (op.sym2 != 0xFF) freq[op.sym2]++;
+    extra += op.ebits;
+  }
+  uint8_t pl[20];
+  make_lengths(freq, 20, 15, pl);
+  int64_t c = 80 + extra;
+  for (int s = 0; s < 20; s++) c += (int64_t)pl[s] * freq[s];
+  return c;
+}
+
+static void write_lens(BitOut& w, const uint8_t* prev, const uint8_t* now,
+                       int first, int last) {
+  std::vector<LenOp> ops;
+  len_ops(prev, now, first, last, ops);
+  uint32_t freq[20] = {0};
+  for (auto& op : ops) {
+    freq[op.sym]++;
+    if (op.sym2 != 0xFF) freq[op.sym2]++;
+  }
+  uint8_t pl[20];
+  uint16_t pc[20];
+  make_lengths(freq, 20, 15, pl);
+  canonical_codes(pl, 20, pc);
+  for (int i = 0; i < 20; i++) w.put(pl[i], 4);
+  for (auto& op : ops) {
+    w.put(pc[op.sym], pl[op.sym]);
+    if (op.ebits) w.put(op.extra, op.ebits);
+    if (op.sym2 != 0xFF) w.put(pc[op.sym2], pl[op.sym2]);
+  }
+}
+
+// --------------------------------------------------------- matcher
+struct Matcher {
+  static constexpr int kHashBits = 17;
+  const uint8_t* buf;
+  size_t len;
+  int max_chain;
+  std::vector<int64_t> head;
+  std::vector<int64_t> prev;
+
+  Matcher(const uint8_t* b, size_t n, int chain)
+      : buf(b), len(n), max_chain(chain),
+        head((size_t)1 << kHashBits, -1), prev(n, -1) {}
+
+  static inline uint32_t h3(const uint8_t* p) {
+    return ((uint32_t)p[0] << 12 ^ (uint32_t)p[1] << 6 ^ (uint32_t)p[2]) &
+           ((1u << kHashBits) - 1);
+  }
+  inline void insert(size_t pos) {
+    if (pos + 2 >= len) return;
+    uint32_t h = h3(buf + pos);
+    prev[pos] = head[h];
+    head[h] = (int64_t)pos;
+  }
+};
+
+struct Token {
+  uint8_t kind;     // 0 literal, 1 rep, 2 explicit
+  uint8_t lit;      // literal byte / rep slot
+  uint32_t length;
+  uint32_t dist;
+};
+
+// ----------------------------------------------------------- encoder
+struct Encoder {
+  int window_bits;
+  uint32_t window_size;
+  int reset_interval;
+  bool is_delta;
+  int max_chain;
+  int num_slots;
+  int num_offsets;
+  uint32_t max_formatted;
+  const uint8_t* buf;   // ref + data
+  size_t origin;        // ref length
+  size_t total;         // buf length
+
+  Encoder(int wb, int ri, bool delta, int chain)
+      : window_bits(wb), window_size(1u << wb), reset_interval(ri),
+        is_delta(delta), max_chain(chain) {
+    num_slots = kPosSlots[wb - 15];
+    num_offsets = num_slots << 3;
+    max_formatted = kT.pos_base[num_slots - 1] +
+                    (1u << kT.extra_bits[num_slots - 1]) - 1;
+  }
+
+  inline bool dist_ok(uint64_t dist, size_t pos_buf) const {
+    uint64_t pos_data = pos_buf - origin;
+    uint64_t wp = pos_data & (window_size - 1);
+    if (dist <= wp) return true;
+    if (origin) return dist <= wp + origin;
+    return pos_data >= 65536 && dist <= pos_data - 65536;
+  }
+
+  inline int slot_for(uint32_t fmt) const {
+    // pos_base is monotone; binary search
+    int lo = 0, hi = num_slots - 1;
+    while (lo < hi) {
+      int mid = (lo + hi + 1) >> 1;
+      if (kT.pos_base[mid] <= fmt) lo = mid;
+      else hi = mid - 1;
+    }
+    return lo;
+  }
+
+  void tokenize_frame(Matcher& mt, size_t pos, size_t fend,
+                      size_t chunk_start, uint32_t* R,
+                      std::vector<Token>& toks) const {
+    const uint8_t* b = buf;
+    uint64_t max_match = is_delta ? 257 + 32767 : 257;
+    uint64_t wlimit = window_size - 2;
+    while (pos < fend) {
+      uint64_t cap = fend - pos;
+      if (cap > max_match) cap = max_match;
+      // repeated offsets first
+      uint32_t rep_len = 0;
+      int rep_slot = -1;
+      for (int ri = 0; ri < 3; ri++) {
+        uint64_t d = R[ri];
+        if (d <= pos - chunk_start && d <= wlimit && dist_ok(d, pos)) {
+          uint64_t l = 0;
+          const uint8_t* s = b + pos - d;
+          const uint8_t* t = b + pos;
+          while (l < cap && s[l] == t[l]) l++;
+          if (l > rep_len) {
+            rep_len = (uint32_t)l;
+            rep_slot = ri;
+          }
+        }
+      }
+      // hash chain
+      uint32_t best_len = 0;
+      uint64_t best_dist = 0;
+      if (pos + 2 < fend) {
+        int64_t cand = mt.head[Matcher::h3(b + pos)];
+        int chain = max_chain;
+        while (cand >= 0 && chain-- > 0) {
+          uint64_t dist = pos - (uint64_t)cand;
+          if (!(dist <= pos - chunk_start && dist <= wlimit &&
+                dist + 2 <= max_formatted && dist_ok(dist, pos)))
+            break;
+          const uint8_t* s = b + cand;
+          const uint8_t* t = b + pos;
+          if (best_len < cap && s[best_len] == t[best_len]) {
+            uint64_t l = 0;
+            while (l < cap && s[l] == t[l]) l++;
+            if (l > best_len) {
+              best_len = (uint32_t)l;
+              best_dist = dist;
+              if (l >= cap) break;
+            }
+          }
+          cand = mt.prev[cand];
+        }
+        if (best_len < 3) best_len = 0;
+      }
+      if (rep_len >= 2 && rep_len + 1 >= best_len) {
+        toks.push_back({1, (uint8_t)rep_slot, rep_len, 0});
+        if (rep_slot == 1) std::swap(R[0], R[1]);
+        else if (rep_slot == 2) std::swap(R[0], R[2]);
+        for (size_t p = pos; p < pos + rep_len; p++) mt.insert(p);
+        pos += rep_len;
+      } else if (best_len >= 3 && (best_len >= 4 || best_dist < 4096)) {
+        toks.push_back({2, 0, best_len, (uint32_t)best_dist});
+        R[2] = R[1];
+        R[1] = R[0];
+        R[0] = (uint32_t)best_dist;
+        for (size_t p = pos; p < pos + best_len; p++) mt.insert(p);
+        pos += best_len;
+      } else {
+        toks.push_back({0, b[pos], 0, 0});
+        mt.insert(pos);
+        pos++;
+      }
+    }
+  }
+
+  // returns true if an UNCOMPRESSED block was chosen (R state must be
+  // restored to R_before by the caller: the raw 12 bytes pin it there)
+  bool emit_block(BitOut& w, const std::vector<Token>& toks,
+                  uint32_t frame_len, uint8_t* prev_main, uint8_t* prev_len,
+                  const uint8_t* frame_data, const uint32_t* R_before,
+                  bool more_blocks) const {
+    int main_n = kNumChars + num_offsets;
+    std::vector<uint32_t> fmain(main_n, 0);
+    uint32_t flen[kSecondary] = {0};
+    uint32_t falign[8] = {0};
+    int64_t verb_extra = 0, align_extra = 0;
+    for (auto& t : toks) {
+      if (t.kind == 0) {
+        fmain[t.lit]++;
+        continue;
+      }
+      int slot;
+      if (t.kind == 1) {
+        slot = t.lit;
+      } else {
+        uint32_t fmt = t.dist + 2;
+        slot = slot_for(fmt);
+        int extra = kT.extra_bits[slot];
+        if (extra >= 3) {
+          falign[(fmt - kT.pos_base[slot]) & 7]++;
+          align_extra += extra - 3;
+        } else {
+          align_extra += extra;
+        }
+        verb_extra += extra;
+      }
+      uint32_t length = t.length;
+      uint32_t enc_len = length > 257 ? 257 : length;
+      int lh = (int)enc_len - 2;
+      if (lh > 7) lh = 7;
+      fmain[kNumChars + (slot << 3) + lh]++;
+      if (lh == 7) flen[enc_len - 9]++;
+      if (is_delta && length >= 257) {
+        uint32_t ex = length - 257;
+        int eb = ex < 0x100 ? 9 : ex < 0x500 ? 12 : ex < 0x1500 ? 15 : 18;
+        verb_extra += eb;
+        align_extra += eb;
+      }
+    }
+    std::vector<uint8_t> mlens(main_n), llens(kSecondary);
+    make_lengths(fmain.data(), main_n, 16, mlens.data());
+    make_lengths(flen, kSecondary, 16, llens.data());
+
+    int64_t body = 0;
+    for (int s = 0; s < main_n; s++) body += (int64_t)mlens[s] * fmain[s];
+    for (int s = 0; s < kSecondary; s++) body += (int64_t)llens[s] * flen[s];
+    int64_t tree_cost = lens_cost(prev_main, mlens.data(), 0, 256) +
+                        lens_cost(prev_main, mlens.data(), 256, main_n) +
+                        lens_cost(prev_len, llens.data(), 0, kSecondary);
+    uint8_t alens[8];
+    make_lengths(falign, 8, 7, alens);
+    bool any_a = false;
+    for (int i = 0; i < 8; i++) any_a |= alens[i] != 0;
+    if (!any_a)
+      for (int i = 0; i < 8; i++) alens[i] = 3;  // decoder builds it anyway
+    int64_t acost = 0;
+    for (int s = 0; s < 8; s++) acost += (int64_t)alens[s] * falign[s];
+    int64_t verb_bits = 3 + 24 + tree_cost + body + verb_extra;
+    int64_t alig_bits = 3 + 24 + 24 + tree_cost + body + align_extra + acost;
+    int64_t unc_bits = 3 + 24 + 16 + 8ll * (12 + frame_len + (frame_len & 1));
+
+    if (unc_bits < verb_bits && unc_bits < alig_bits) {
+      w.put(3, 3);
+      w.put(frame_len, 24);
+      w.align16();
+      uint8_t rb[12];
+      for (int i = 0; i < 3; i++)
+        for (int j = 0; j < 4; j++) rb[i * 4 + j] = (R_before[i] >> (8 * j)) & 0xFF;
+      w.bytes(rb, 12);
+      w.bytes(frame_data, frame_len);
+      if ((frame_len & 1) && more_blocks) {
+        uint8_t z = 0;
+        w.bytes(&z, 1);
+      }
+      return true;
+    }
+
+    bool aligned = alig_bits < verb_bits;
+    w.put(aligned ? 2 : 1, 3);
+    w.put(frame_len, 24);
+    uint16_t acodes[8];
+    canonical_codes(alens, 8, acodes);
+    if (aligned)
+      for (int i = 0; i < 8; i++) w.put(alens[i], 3);
+    write_lens(w, prev_main, mlens.data(), 0, 256);
+    write_lens(w, prev_main, mlens.data(), 256, main_n);
+    write_lens(w, prev_len, llens.data(), 0, kSecondary);
+    memcpy(prev_main, mlens.data(), main_n);
+    memcpy(prev_len, llens.data(), kSecondary);
+    std::vector<uint16_t> mcodes(main_n), lcodes(kSecondary);
+    canonical_codes(mlens.data(), main_n, mcodes.data());
+    canonical_codes(llens.data(), kSecondary, lcodes.data());
+
+    for (auto& t : toks) {
+      if (t.kind == 0) {
+        w.put(mcodes[t.lit], mlens[t.lit]);
+        continue;
+      }
+      uint32_t length = t.length;
+      uint32_t enc_len = length > 257 ? 257 : length;
+      int lh = (int)enc_len - 2;
+      if (lh > 7) lh = 7;
+      int slot;
+      uint32_t fmt = 0;
+      if (t.kind == 1) {
+        slot = t.lit;
+      } else {
+        fmt = t.dist + 2;
+        slot = slot_for(fmt);
+      }
+      int sym = kNumChars + (slot << 3) + lh;
+      w.put(mcodes[sym], mlens[sym]);
+      if (lh == 7) {
+        int sec = enc_len - 9;
+        w.put(lcodes[sec], llens[sec]);
+      }
+      if (t.kind == 2) {
+        int extra = kT.extra_bits[slot];
+        uint32_t val = fmt - kT.pos_base[slot];
+        if (extra >= 3 && aligned) {
+          if (extra > 3) w.put(val >> 3, extra - 3);
+          w.put(acodes[val & 7], alens[val & 7]);
+        } else if (extra) {
+          w.put(val, extra);
+        }
+      }
+      if (is_delta && length >= 257) {
+        uint32_t ex = length - 257;
+        if (ex < 0x100) {
+          w.put(0, 1);
+          w.put(ex, 8);
+        } else if (ex < 0x100 + 0x400) {
+          w.put(2, 2);
+          w.put(ex - 0x100, 10);
+        } else if (ex < 0x500 + 0x1000) {
+          w.put(6, 3);
+          w.put(ex - 0x500, 12);
+        } else {
+          w.put(7, 3);
+          w.put(ex, 15);
+        }
+      }
+    }
+    return false;
+  }
+
+  // full stream; returns frame offsets through `offs`
+  std::vector<uint8_t> compress(const uint8_t* data, size_t len,
+                                const uint8_t* ref, size_t ref_len,
+                                std::vector<uint64_t>& offs) {
+    std::vector<uint8_t> holder;
+    if (ref_len) {
+      holder.resize(ref_len + len);
+      memcpy(holder.data(), ref, ref_len);
+      memcpy(holder.data() + ref_len, data, len);
+      buf = holder.data();
+    } else {
+      buf = data;
+    }
+    origin = ref_len;
+    total = ref_len + len;
+    Matcher mt(buf, total, max_chain);
+    for (size_t p = 0; p < origin; p++) mt.insert(p);
+
+    BitOut w;
+    size_t nframes = len ? (len + kFrame - 1) / kFrame : 1;
+    int main_n = kNumChars + num_offsets;
+    std::vector<uint8_t> prev_main(main_n, 0), prev_len(kSecondary, 0);
+    uint32_t R[3] = {1, 1, 1};
+    size_t chunk_start = 0;
+    std::vector<Token> toks;
+
+    for (size_t i = 0; i < nframes; i++) {
+      size_t fstart = i * kFrame;
+      size_t fend = fstart + kFrame < len ? fstart + kFrame : len;
+      offs.push_back(w.out.size());
+      bool reset =
+          i == 0 || (reset_interval && (i % (size_t)reset_interval) == 0);
+      if (reset) {
+        std::fill(prev_main.begin(), prev_main.end(), 0);
+        std::fill(prev_len.begin(), prev_len.end(), 0);
+        R[0] = R[1] = R[2] = 1;
+        chunk_start = fstart;
+      }
+      size_t delta_patch = SIZE_MAX;
+      if (is_delta) {
+        delta_patch = w.out.size();
+        w.put(0, 16);  // chunk size, backpatched
+      }
+      if (reset) w.put(0, 1);  // no intel E8 filesize
+
+      if (fend == fstart) {  // zero-length stream
+        w.put(3, 3);
+        w.put(0, 24);
+        w.align16();
+        uint8_t rb[12];
+        for (int k = 0; k < 3; k++)
+          for (int j = 0; j < 4; j++) rb[k * 4 + j] = (R[k] >> (8 * j)) & 0xFF;
+        w.bytes(rb, 12);
+        continue;
+      }
+
+      uint32_t R_snapshot[3] = {R[0], R[1], R[2]};
+      size_t cstart = chunk_start ? origin + chunk_start : 0;
+      toks.clear();
+      tokenize_frame(mt, origin + fstart, origin + fend, cstart, R, toks);
+      bool stored = emit_block(w, toks, (uint32_t)(fend - fstart),
+                               prev_main.data(), prev_len.data(),
+                               data + fstart, R_snapshot, i + 1 < nframes);
+      if (stored) {
+        R[0] = R_snapshot[0];
+        R[1] = R_snapshot[1];
+        R[2] = R_snapshot[2];
+      }
+
+      if (w.cnt) w.align16();
+      if (w.out.size() & 1) {
+        uint8_t z = 0;
+        w.bytes(&z, 1);
+      }
+      if (delta_patch != SIZE_MAX) {
+        size_t chunk = w.out.size() - delta_patch - 2;
+        w.out[delta_patch] = (uint8_t)(chunk & 0xFF);
+        w.out[delta_patch + 1] = (uint8_t)((chunk >> 8) & 0xFF);
+      }
+    }
+    return std::move(w.out);
+  }
+};
+
+}  // namespace lzxe
+
 extern "C" {
 
 // Decode one MSZIP folder: frames[i] are the deflate streams (CK
@@ -1201,6 +1817,65 @@ int msp_qtm_decode(const uint8_t* stream, uint64_t stream_len,
   d.init(window_bits);
   qtm::QBits b(stream, stream_len);
   return d.run(b, out, out_len);
+}
+
+
+// Entropy-encode one LZX stream. Writes the stream to `out` and the
+// per-frame byte offsets to `frame_offs` (caller sizes it to the frame
+// count). Returns the stream length, or -1 if out_cap is too small.
+int64_t msp_lzx_encode(const uint8_t* data, uint64_t len, int window_bits,
+                       int reset_interval, int is_delta, const uint8_t* ref,
+                       uint64_t ref_len, int max_chain, uint8_t* out,
+                       uint64_t out_cap, uint64_t* frame_offs) {
+  int lo = is_delta ? 17 : 15, hi = is_delta ? 25 : 21;
+  if (window_bits < lo || window_bits > hi) return -2;
+  lzxe::Encoder enc(window_bits, reset_interval, is_delta != 0,
+                    max_chain > 0 ? max_chain : 64);
+  std::vector<uint64_t> offs;
+  std::vector<uint8_t> stream = enc.compress(data, len, ref, ref_len, offs);
+  if (stream.size() > out_cap) return -1;
+  memcpy(out, stream.data(), stream.size());
+  for (size_t i = 0; i < offs.size(); i++) frame_offs[i] = offs[i];
+  return (int64_t)stream.size();
+}
+
+// Encode many independent LZX streams across the thread pool (CAB
+// folders / CHM sections / OAB blocks). Streams land back-to-back in
+// `out` at caller-provided per-stream capacities. Returns 0, or the
+// 1-based index of the first failed stream.
+int msp_lzx_encode_many(const uint8_t* const* datas, const uint64_t* lens,
+                        const int* window_bits, int reset_interval,
+                        int is_delta, int max_chain, int n_streams,
+                        uint8_t* const* outs, const uint64_t* out_caps,
+                        int64_t* out_lens, uint64_t* const* frame_offs,
+                        int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> fail(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_streams) break;
+      int64_t r = msp_lzx_encode(datas[i], lens[i], window_bits[i],
+                                 reset_interval, is_delta, nullptr, 0,
+                                 max_chain, outs[i], out_caps[i],
+                                 frame_offs[i]);
+      out_lens[i] = r;
+      if (r < 0) {
+        int expected = 0;
+        fail.compare_exchange_strong(expected, i + 1);
+      }
+    }
+  };
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads == 1 || n_streams == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    int nt = n_threads < n_streams ? n_threads : n_streams;
+    for (int t = 0; t < nt; t++) ths.emplace_back(worker);
+    for (auto& th : ths) th.join();
+  }
+  return fail.load();
 }
 
 int msp_version(void) { return 1; }

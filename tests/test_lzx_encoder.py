@@ -50,10 +50,12 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("engine", ["python", "auto"])
 @pytest.mark.parametrize("wb,ri", [(15, 0), (16, 2), (21, 0)])
-def test_roundtrip(wb, ri):
+def test_roundtrip(wb, ri, engine):
     for data in CASES:
-        stream, offs = lzx_e.compress(data, wb, reset_interval=ri)
+        stream, offs = lzx_e.compress(data, wb, reset_interval=ri,
+                                      engine=engine)
         assert _decode(stream, wb, ri, len(data)) == data
         nframes = max(1, (len(data) + 32767) // 32768)
         assert len(offs) == nframes
@@ -185,3 +187,39 @@ def test_oracle_oab_entropy():
     err, out = oracle.oab_decompress_incremental(patch, base)
     assert err == 0 and out == target
     assert len(patch) < len(target) // 10
+
+
+def test_native_python_equivalence():
+    """The native encoder follows the same algorithm; outputs must
+    decode identically and be within a whisker in size (Huffman
+    tie-breaking may differ)."""
+    from libmspack_tpu import native
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    for data in CASES:
+        ns, noffs = lzx_e.compress(data, 16, reset_interval=2,
+                                   engine="auto")
+        ps, poffs = lzx_e.compress(data, 16, reset_interval=2,
+                                   engine="python")
+        assert _decode(ns, 16, 2, len(data)) == data
+        assert len(noffs) == len(poffs)
+        assert abs(len(ns) - len(ps)) <= max(64, len(ps) // 100)
+
+
+def test_native_delta_ref():
+    from libmspack_tpu import native
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    base = _text(120000, seed=4)
+    rng = random.Random(3)
+    t = bytearray(base)
+    for _ in range(25):
+        p = rng.randrange(len(t) - 60)
+        t[p:p + 30] = os.urandom(30)
+    target = bytes(t)
+    r = native.lzx_encode(target, 18, is_delta=True, ref_data=base)
+    assert r is not None
+    stream, _ = r
+    assert _decode(stream, 18, 0, len(target), is_delta=True,
+                   ref=base) == target
+    assert len(stream) < len(target) // 10
