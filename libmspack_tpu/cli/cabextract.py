@@ -325,7 +325,8 @@ def main(argv=None) -> int:
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("-s", "--single", action="store_true",
                    help="don't load spanning cabinets")
-    p.add_argument("--engine", default="scalar", choices=["scalar", "jax", "native"],
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "scalar", "jax", "native"],
                    help="decode engine (jax = TPU path)")
     args = p.parse_args(argv)
 

@@ -200,13 +200,16 @@ class CabDecompressor:
     """Pythonic equivalent of mscab_decompressor (mspack.h:957-1180)."""
 
     def __init__(self, message: Callable[[str], None] | None = None,
-                 engine: str = "scalar"):
+                 engine: str = "auto"):
         self.searchbuf_size = 32768
         self.fix_mszip = False
         self.buf_size = 4096
         self.salvage = False
         self.message = message or (lambda s: None)
-        self.engine = engine
+        from ..utils import resolve_engine
+        self.engine = resolve_engine(engine)
+        self._scratch_out = None   # warm decode arena (native.Scratch)
+        self._scratch_in = None    # warm staging arena
         self._d: Optional[_DecompState] = None
         self._folder_cache: tuple | None = None  # (folder, bytes)
         self.last_error = 0
@@ -669,7 +672,12 @@ class CabDecompressor:
         if self.engine == "native":
             try:
                 from .. import native
-                out = native.mszip_folder(streams, sizes)
+                total = sum(sizes)
+                if self._scratch_out is None:
+                    self._scratch_out = native.Scratch()
+                buf = self._scratch_out.get(max(total, 1))
+                if native.mszip_folder_into(streams, sizes, buf):
+                    out = buf[:total]
             except Exception:
                 out = None
         if out is None and self.engine == "jax":
@@ -697,20 +705,31 @@ class CabDecompressor:
         blocks, sizes = collected
         try:
             from .. import native
+            if self._scratch_out is None:
+                self._scratch_out = native.Scratch()
+            if self._scratch_in is None:
+                self._scratch_in = native.Scratch()
+            total = sum(sizes)
+            out = self._scratch_out.get(max(total, 1))[:total]
             ct = fol.comp_type & COMPTYPE_MASK
+            csize = sum(len(b) for b in blocks)
             if ct == COMPTYPE_QUANTUM:
                 # cabd injects a 0xFF realign trailer after every block
                 # (reference: cabd.c:1327-1332)
-                stream = b"\xFF".join(blocks) + b"\xFF" if blocks else b""
-                out = native.qtm_decode(stream, (fol.comp_type >> 8) & 0x1F,
-                                        sum(sizes))
+                stage = self._scratch_in.get(csize + len(blocks) + 1)
+                n = native.fill_from_chunks(stage, blocks, sep=0xFF)
+                ok = native.qtm_decode_into(stage, n,
+                                            (fol.comp_type >> 8) & 0x1F,
+                                            out, total)
             else:
-                out = native.lzx_decode(b"".join(blocks),
-                                        (fol.comp_type >> 8) & 0x1F, 0,
-                                        sum(sizes))
+                stage = self._scratch_in.get(max(csize, 1))
+                n = native.fill_from_chunks(stage, blocks)
+                ok = native.lzx_decode_into(stage, n,
+                                            (fol.comp_type >> 8) & 0x1F, 0,
+                                            out, total)
+            if not ok:
+                return None
         except Exception:
-            return None
-        if out is None:
             return None
         self._folder_cache = (fol, out)
         return out

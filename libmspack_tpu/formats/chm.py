@@ -181,9 +181,11 @@ class _DecompState:
 class ChmDecompressor:
     """Pythonic equivalent of mschm_decompressor (mspack.h:1577-1724)."""
 
-    def __init__(self, message=None, engine: str = "scalar"):
+    def __init__(self, message=None, engine: str = "auto"):
         self.message = message or (lambda s: None)
-        self.engine = engine
+        from ..utils import resolve_engine
+        self.engine = resolve_engine(engine)
+        self._scratch_out = None   # warm decode arena (native.Scratch)
         self._d: Optional[_DecompState] = None
         self._sec1_cache: tuple | None = None  # (chm, bytes)
         self.last_error = 0
@@ -622,9 +624,12 @@ class ChmDecompressor:
                 length = self._read_spaninfo(d, sec)
             d.insrc.seek(chm.sec0.offset + sec.content.offset)
             stream = d.insrc.read(sec.content.length)
-            out = native.lzx_decode(stream, window_bits,
-                                    reset_interval // FRAME_SIZE, length)
-            if out is None:
+            if self._scratch_out is None:
+                self._scratch_out = native.Scratch()
+            out = self._scratch_out.get(max(length, 1))[:length]
+            if not native.lzx_decode_into(stream, len(stream), window_bits,
+                                          reset_interval // FRAME_SIZE,
+                                          out, length):
                 return None
             self._sec1_cache = (chm, out)
             return out

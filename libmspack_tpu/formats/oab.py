@@ -39,9 +39,12 @@ def crc32_raw(data: bytes, crc: int = 0xFFFFFFFF) -> int:
 class OabDecompressor:
     """Pythonic equivalent of msoab_decompressor (mspack.h:2255-2376)."""
 
-    def __init__(self, message=None):
+    def __init__(self, message=None, engine: str = "auto"):
         self.buf_size = 4096
         self.message = message or (lambda s: None)
+        from ..utils import resolve_engine
+        self.engine = resolve_engine(engine)
+        self._scratch = None
 
     def set_param(self, param: int, value: int) -> None:
         if param == 0 and value >= 16:   # MSOABD_PARAM_DECOMPBUF
@@ -137,6 +140,24 @@ class OabDecompressor:
 
     def _decode_block(self, src, sink, csize: int, dsize: int, crc: int,
                       window_bits: int, ref_data: bytes | None) -> None:
+        if self.engine == "native":
+            # whole-block decode on the native engine; fall through to
+            # the scalar path on any shortfall
+            stream = src.read(csize)
+            if len(stream) == csize:
+                from .. import native
+                if self._scratch is None:
+                    self._scratch = native.Scratch()
+                out = self._scratch.get(max(dsize, 1))[:dsize]
+                if native.lzx_decode_into(stream, csize, window_bits, 0,
+                                          out, dsize, is_delta=True,
+                                          ref_data=ref_data):
+                    if crc32_raw(out) != crc:
+                        raise ChecksumError("OAB block CRC mismatch")
+                    sink.write(out)
+                    return
+            # native path declined: re-feed the bytes to the scalar path
+            src = open_source(stream)
         budget = {"left": csize}
 
         def read_fn(n: int) -> bytes:

@@ -34,12 +34,14 @@ class SzddHeader:
 class SzddDecompressor:
     """Pythonic equivalent of msszdd_decompressor (mspack.h:1792-1965).
 
-    engine: "scalar" (host reference) or "jax" (two-phase TPU decode,
+    engine: "auto" (native C++ when available), "scalar" (host
+    reference) or "jax" (two-phase TPU decode,
     ops/lzss_jax.py). Both are bit-exact.
     """
 
-    def __init__(self, engine: str = "scalar"):
-        self.engine = engine
+    def __init__(self, engine: str = "auto"):
+        from ..utils import resolve_engine
+        self.engine = resolve_engine(engine)
 
     def open(self, path: PathOrBytes) -> "SzddFile":
         src = open_source(path)
@@ -92,6 +94,9 @@ class SzddFile:
         if self.engine == "jax":
             from ..ops import lzss_jax
             out = lzss_jax.decompress(data, mode)
+        elif self.engine == "native":
+            from .. import native
+            out = native.lzss_decompress(data, mode)
         else:
             out = lzss.decompress(data, mode)
         sink = output if isinstance(output, Sink) else FileSink(output)

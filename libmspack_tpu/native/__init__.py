@@ -71,28 +71,83 @@ def default_threads() -> int:
     return max(1, os.cpu_count() or 1)
 
 
-def mszip_folder(frames: list[bytes], sizes: list[int],
-                 n_threads: int | None = None) -> bytes | None:
-    """Decode one MSZIP folder (deflate streams, CK stripped).
+class Scratch:
+    """Grow-only reusable output arena.
 
-    Returns the folder bytes or None if the engine flags anything the
-    scalar path should handle (exact reference error semantics)."""
+    First-touch page faults on the target VMs are pathologically slow
+    (~200 MB/s even with THP) while warm pages write at ~9 GB/s, so
+    multi-GiB buffers must be faulted once and reused — never
+    reallocated per call. Views returned by get() stay valid until the
+    next get() that grows the arena; callers own the lifecycle (one
+    Scratch per decompressor, its folder cache is the only consumer).
+    """
+
+    __slots__ = ("_buf",)
+    _GRANULE = 1 << 26  # grow in 64 MiB steps
+
+    def __init__(self):
+        self._buf = None
+
+    def get(self, n: int):
+        """A uint8[n] view over warm, reused pages."""
+        import numpy as np
+        if self._buf is None or self._buf.size < n:
+            size = max(self._GRANULE,
+                       (n + self._GRANULE - 1) // self._GRANULE
+                       * self._GRANULE)
+            self._buf = np.empty(size, np.uint8)
+        return self._buf[:n]
+
+
+def fill_from_chunks(out, chunks, sep: int | None = None) -> int:
+    """Copy byte chunks back-to-back into a warm numpy arena view
+    (replaces b"".join for multi-GiB staging, which would fault a fresh
+    allocation). sep inserts one separator byte after every chunk
+    (Quantum's 0xFF realign trailer, reference: cabd.c:1327-1332).
+    Returns the total length written."""
+    import numpy as np
+    off = 0
+    for c in chunks:
+        n = len(c)
+        out[off:off + n] = np.frombuffer(c, np.uint8)
+        off += n
+        if sep is not None:
+            out[off] = sep
+            off += 1
+    return off
+
+
+def mszip_folder_into(frames: list[bytes], sizes: list[int], out,
+                      n_threads: int | None = None) -> bool:
+    """Decode one MSZIP folder (deflate streams, CK stripped) into a
+    caller-provided uint8 numpy view sized sum(sizes).
+
+    False if the engine flags anything the scalar path should handle
+    (exact reference error semantics)."""
     L = lib()
     n = len(frames)
     if n == 0:
-        return b""
+        return True
     total = sum(sizes)
-    out = ctypes.create_string_buffer(total if total else 1)
-    FramePtrs = ctypes.c_char_p * n
-    ptrs = FramePtrs(*frames)
+    ptrs = (ctypes.c_char_p * n)(*frames)
     lens = (ctypes.c_uint64 * n)(*[len(f) for f in frames])
     szs = (ctypes.c_uint32 * n)(*sizes)
     r = L.msp_mszip_folder(
         ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_char_p)), lens, szs,
-        n, out, total, n_threads or default_threads())
-    if r != 0:
+        n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(total), n_threads or default_threads())
+    return r == 0
+
+
+def mszip_folder(frames: list[bytes], sizes: list[int],
+                 n_threads: int | None = None) -> bytes | None:
+    """bytes-returning convenience wrapper over mszip_folder_into."""
+    import numpy as np
+    total = sum(sizes)
+    out = np.empty(max(total, 1), np.uint8)
+    if not mszip_folder_into(frames, sizes, out, n_threads):
         return None
-    return out.raw[:total]
+    return out[:total].tobytes()
 
 
 class FolderBatch:
@@ -160,6 +215,31 @@ def lzss_decompress(data: bytes, mode: int = 0,
     return res
 
 
+def _as_ptr(buf):
+    """uint8 pointer for bytes or numpy views (zero-copy)."""
+    if isinstance(buf, bytes):
+        return buf
+    import numpy as np
+    arr = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8)
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def lzx_decode_into(stream, stream_len: int, window_bits: int,
+                    reset_interval: int, out, out_len: int,
+                    is_delta: bool = False,
+                    ref_data: bytes | None = None) -> bool:
+    """Decode one LZX stream into a caller-provided uint8 numpy view.
+    stream may be bytes or a numpy view (warm-arena staging)."""
+    L = lib()
+    r = L.msp_lzx_decode(
+        _as_ptr(stream), ctypes.c_uint64(stream_len), window_bits,
+        reset_interval, ctypes.c_int64(out_len), 1 if is_delta else 0,
+        ref_data, len(ref_data) if ref_data else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(out.nbytes))
+    return r == 0
+
+
 def lzx_decode(stream: bytes, window_bits: int, reset_interval: int,
                out_len: int, is_delta: bool = False,
                ref_data: bytes | None = None) -> bytes | None:
@@ -167,18 +247,13 @@ def lzx_decode(stream: bytes, window_bits: int, reset_interval: int,
 
     Returns None when the engine flags anything needing the scalar
     path's exact reference semantics."""
-    L = lib()
     import numpy as np
-    out = np.zeros(max(out_len, 1), np.uint8)
-    r = L.msp_lzx_decode(
-        stream, ctypes.c_uint64(len(stream)), window_bits, reset_interval,
-        ctypes.c_int64(out_len), 1 if is_delta else 0,
-        ref_data, len(ref_data) if ref_data else 0,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        ctypes.c_uint64(out.nbytes))
-    if r != 0:
+    out = np.empty(max(out_len, 1), np.uint8)
+    if not lzx_decode_into(stream, len(stream), window_bits,
+                           reset_interval, out, out_len, is_delta,
+                           ref_data):
         return None
-    return out.tobytes()[:out_len]
+    return out[:out_len].tobytes()
 
 
 def lzx_encode(data: bytes, window_bits: int, reset_interval: int = 0,
@@ -202,15 +277,22 @@ def lzx_encode(data: bytes, window_bits: int, reset_interval: int = 0,
     return out.raw[: int(r)], list(offs)
 
 
-def qtm_decode(stream: bytes, window_bits: int, out_len: int) -> bytes | None:
-    """Decode one Quantum stream (CAB folder with 0xFF block trailers)."""
+def qtm_decode_into(stream, stream_len: int, window_bits: int, out,
+                    out_len: int) -> bool:
+    """Decode one Quantum stream (0xFF block trailers included) into a
+    caller-provided uint8 numpy view."""
     L = lib()
-    import numpy as np
-    out = np.zeros(max(out_len, 1), np.uint8)
-    r = L.msp_qtm_decode(stream, ctypes.c_uint64(len(stream)), window_bits,
-                         ctypes.c_int64(out_len),
+    r = L.msp_qtm_decode(_as_ptr(stream), ctypes.c_uint64(stream_len),
+                         window_bits, ctypes.c_int64(out_len),
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                          ctypes.c_uint64(out.nbytes))
-    if r != 0:
+    return r == 0
+
+
+def qtm_decode(stream: bytes, window_bits: int, out_len: int) -> bytes | None:
+    """Decode one Quantum stream (CAB folder with 0xFF block trailers)."""
+    import numpy as np
+    out = np.empty(max(out_len, 1), np.uint8)
+    if not qtm_decode_into(stream, len(stream), window_bits, out, out_len):
         return None
-    return out.tobytes()[:out_len]
+    return out[:out_len].tobytes()
