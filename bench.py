@@ -72,39 +72,37 @@ def bench_reference(cab_path: str) -> float:
 
 
 def bench_ours(cab_path: str, corpus: bytes) -> float:
+    import numpy as np
+
     from libmspack_tpu import native
     from libmspack_tpu.formats.cab import CabDecompressor
 
-    out_buf = None
+    out = native.Scratch().get(len(corpus))  # long-lived (service mode)
+    result = {}
 
     def run():
-        nonlocal out_buf
+        # header parse in python (KB-sized, branchy); all byte-volume
+        # work — CFDATA walk, checksums, two-phase inflate — native
         d = CabDecompressor()
         cab = d.open(cab_path)
-        folders = []
-        for fol in cab.folders:
-            collected = d.collect_mszip_frames(fol)
-            assert collected is not None, "bench cab must be clean MSZIP"
-            frames, sizes = collected
-            folders.append(([f[2:] for f in frames], sizes))
-        batch = native.FolderBatch(folders)
-        if out_buf is not None and out_buf.shape == batch.out.shape:
-            batch.out = out_buf  # long-lived output buffer (service mode)
-        ok = batch.run()
-        assert ok, "native decode failed"
-        out_buf = batch.out
-        return batch
+        img = np.memmap(cab_path, dtype=np.uint8, mode="r")
+        offs = native.cab_mszip_pipeline(
+            img, [fol.data[0].offset for fol in cab.folders],
+            [fol.num_blocks for fol in cab.folders],
+            cab.block_resv, out)
+        assert offs is not None, "native pipeline declined bench cab"
+        result["total"] = offs[-1]
 
-    batch = run()  # warmup (page faults, engine build)
-    assert bytes(batch.out[: batch.total]) == corpus, "bit-exactness failed!"
+    run()  # warmup (page faults, engine build)
+    assert bytes(out[: result["total"]]) == corpus, "bit-exactness failed!"
     best = float("inf")
     for _ in range(5):
         t0 = time.perf_counter()
-        batch = run()
+        run()
         dt = time.perf_counter() - t0
         print(f"# ours run: {dt:.3f}s", file=sys.stderr)
         best = min(best, dt)
-    assert bytes(batch.out[: batch.total]) == corpus
+    assert bytes(out[: result["total"]]) == corpus
     return best
 
 

@@ -55,6 +55,7 @@ def lib():
         _lib.msp_lzx_many.restype = ctypes.c_int
         _lib.msp_lzx_encode.restype = ctypes.c_int64
         _lib.msp_lzx_encode_many.restype = ctypes.c_int
+        _lib.msp_cab_mszip_pipeline.restype = ctypes.c_int
         _lib.msp_qtm_decode.restype = ctypes.c_int
     return _lib
 
@@ -254,6 +255,30 @@ def lzx_decode(stream: bytes, window_bits: int, reset_interval: int,
                            ref_data):
         return None
     return out[:out_len].tobytes()
+
+
+def cab_mszip_pipeline(cab, data_offsets: list[int], nblocks: list[int],
+                       block_resv: int, out, verify: bool = True,
+                       n_threads: int | None = None) -> list[int] | None:
+    """Whole-cabinet MSZIP decode: CFDATA walk + checksum + two-phase
+    inflate in one native call, folder-parallel with no phase barrier.
+
+    cab is the full cabinet image (bytes or numpy view); out a uint8
+    numpy arena. Returns folder output offsets (n+1 entries) or None
+    when the cabinet needs the python driver's exact semantics."""
+    L = lib()
+    n = len(data_offsets)
+    offs = (ctypes.c_int64 * n)(*data_offsets)
+    nbl = (ctypes.c_int32 * n)(*nblocks)
+    foffs = (ctypes.c_int64 * (n + 1))()
+    r = L.msp_cab_mszip_pipeline(
+        _as_ptr(cab), ctypes.c_uint64(len(cab)), offs, nbl, block_resv,
+        n, 1 if verify else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(out.nbytes), foffs, n_threads or default_threads())
+    if r != 0:
+        return None
+    return list(foffs)
 
 
 def lzx_encode(data: bytes, window_bits: int, reset_interval: int = 0,

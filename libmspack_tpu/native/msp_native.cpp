@@ -988,6 +988,42 @@ struct Decoder {
 }  // namespace qtm
 
 
+// ======================================================== CAB pipeline
+// Full native MSZIP-cabinet decode: walk each folder's CFDATA chain
+// (per-block XOR checksum exactly as cabd.c:1462-1479), then per
+// folder stream checksum -> tokenize -> resolve frame by frame with no
+// cross-phase barrier (tokens are applied while hot in cache).
+// Split blocks (uncomp == 0) and anything non-conforming bail out so
+// the python driver's exact reference semantics take over.
+
+namespace cabpipe {
+
+struct Frame {
+  const uint8_t* p;  // CFDATA payload (starts with 'CK')
+  uint32_t clen;
+  uint32_t ulen;
+  uint32_t cksum;
+};
+
+static uint32_t cab_checksum(const uint8_t* d, size_t n, uint32_t ck) {
+  size_t full = n & ~(size_t)3;
+  for (size_t i = 0; i < full; i += 4)
+    ck ^= (uint32_t)d[i] | ((uint32_t)d[i + 1] << 8) |
+          ((uint32_t)d[i + 2] << 16) | ((uint32_t)d[i + 3] << 24);
+  size_t rem = n - full;
+  uint32_t ul = 0;
+  if (rem == 3)
+    ul = ((uint32_t)d[full] << 16) | ((uint32_t)d[full + 1] << 8) |
+         d[full + 2];
+  else if (rem == 2)
+    ul = ((uint32_t)d[full] << 8) | d[full + 1];
+  else if (rem == 1)
+    ul = d[full];
+  return ck ^ ul;
+}
+
+}  // namespace cabpipe
+
 // ============================================================ LZX encode
 // Entropy-coded LZX encoder (native port of compress/lzx_e.py). The
 // reference has no LZX compressor at all (reference: lzxc.c:18 stub);
@@ -1876,6 +1912,121 @@ int msp_lzx_encode_many(const uint8_t* const* datas, const uint64_t* lens,
     for (auto& th : ths) th.join();
   }
   return fail.load();
+}
+
+
+// Whole-cabinet MSZIP decode (see cabpipe above). data_offsets /
+// nblocks describe each folder's CFDATA chain inside `cab`; outputs
+// land back-to-back in `out` with folder_out_offsets[n_folders+1]
+// filled in. Returns 0, or an error telling the caller to fall back.
+int msp_cab_mszip_pipeline(const uint8_t* cab, uint64_t cab_len,
+                           const int64_t* data_offsets,
+                           const int32_t* nblocks, int block_resv,
+                           int n_folders, int verify, uint8_t* out,
+                           uint64_t out_cap, int64_t* folder_out_offsets,
+                           int n_threads) {
+  std::vector<std::vector<cabpipe::Frame>> folders(n_folders);
+  int64_t out_total = 0;
+  for (int f = 0; f < n_folders; f++) {
+    folder_out_offsets[f] = out_total;
+    uint64_t off = (uint64_t)data_offsets[f];
+    auto& fr = folders[f];
+    fr.reserve(nblocks[f]);
+    for (int b = 0; b < nblocks[f]; b++) {
+      if (off + 8 > cab_len) return 2;
+      uint32_t cksum = (uint32_t)cab[off] | ((uint32_t)cab[off + 1] << 8) |
+                       ((uint32_t)cab[off + 2] << 16) |
+                       ((uint32_t)cab[off + 3] << 24);
+      uint32_t clen = (uint32_t)cab[off + 4] | ((uint32_t)cab[off + 5] << 8);
+      uint32_t ulen = (uint32_t)cab[off + 6] | ((uint32_t)cab[off + 7] << 8);
+      off += 8 + (uint32_t)block_resv;
+      if (off + clen > cab_len) return 2;
+      if (ulen == 0 || ulen > 32768) return 3;   // split/oversize
+      if (clen > 32768 + 6144) return 3;
+      const uint8_t* p = cab + off;
+      off += clen;
+      if (clen < 2 || p[0] != 'C' || p[1] != 'K') return 4;
+      fr.push_back({p, clen, ulen, cksum});
+      out_total += ulen;
+    }
+  }
+  folder_out_offsets[n_folders] = out_total;
+  if ((uint64_t)out_total > out_cap) return 5;
+
+  std::atomic<int> nf(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    FrameTokens ft;
+    for (;;) {
+      int f = nf.fetch_add(1);
+      if (f >= n_folders) break;
+      uint8_t* fout = out + folder_out_offsets[f];
+      size_t pos = 0;
+      uint64_t fcap =
+          (uint64_t)(folder_out_offsets[f + 1] - folder_out_offsets[f]);
+      for (auto& frm : folders[f]) {
+        if (err.load(std::memory_order_relaxed)) return;
+        if (verify && frm.cksum) {
+          uint32_t s = cabpipe::cab_checksum(frm.p, frm.clen, 0);
+          uint8_t tail[4] = {(uint8_t)(frm.clen & 0xFF),
+                             (uint8_t)(frm.clen >> 8),
+                             (uint8_t)(frm.ulen & 0xFF),
+                             (uint8_t)(frm.ulen >> 8)};
+          if (cabpipe::cab_checksum(tail, 4, s) != frm.cksum) {
+            err.store(6);
+            return;
+          }
+        }
+        ft.cmds.clear();
+        tokenize_frame(frm.p + 2, frm.clen - 2, &ft);
+        if (ft.err || ft.out_len != frm.ulen) {
+          err.store(7);
+          return;
+        }
+        const uint8_t* lit = ft.lits.data();
+        for (uint32_t cmd : ft.cmds) {
+          uint32_t l = cmd & 0xFFFF;
+          uint32_t d = cmd >> 16;
+          if (pos + l > fcap) {
+            err.store(20);
+            return;
+          }
+          uint8_t* dst = fout + pos;
+          if (d == 0) {
+            memcpy(dst, lit, l);
+            lit += l;
+          } else if (d > pos) {
+            err.store(21);
+            return;
+          } else if (d >= l) {
+            memcpy(dst, dst - d, l);
+          } else if (d >= 8) {
+            const uint8_t* src = dst - d;
+            size_t done = 0;
+            while (done < l) {
+              size_t chunk = d < (l - done) ? d : (l - done);
+              memcpy(dst + done, src + done, chunk);
+              done += chunk;
+            }
+          } else {
+            const uint8_t* src = dst - d;
+            for (uint32_t i = 0; i < l; i++) dst[i] = src[i];
+          }
+          pos += l;
+        }
+      }
+    }
+  };
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt > n_folders) nt = n_folders;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++) ths.emplace_back(worker);
+    for (auto& th : ths) th.join();
+  }
+  return err.load();
 }
 
 int msp_version(void) { return 1; }

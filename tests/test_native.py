@@ -171,3 +171,42 @@ def test_native_qtm_golden():
     d.extract(f, s)
     assert hashlib.md5(s.getvalue()).hexdigest() == \
         "98fcfa4962a0f169a3c7fdbcb445cf17"
+
+
+def test_cab_mszip_pipeline_matches_driver(tmp_path):
+    """Whole-cab native pipeline == python driver output, and declines
+    cabs it cannot handle exactly (bad checksum)."""
+    import numpy as np
+    from libmspack_tpu import native
+    from libmspack_tpu.formats.cab import CabDecompressor
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    data1 = (b"alpha beta gamma " * 9000)[:120000]
+    data2 = os.urandom(50000)
+    cab = cab_c.write_cab(folders=[
+        cab_c.FolderSpec([("a.txt", data1)], "mszip"),
+        cab_c.FolderSpec([("b.bin", data2)], "mszip"),
+    ])
+    path = str(tmp_path / "p.cab")
+    with open(path, "wb") as fh:
+        fh.write(cab)
+    d = CabDecompressor()
+    parsed = d.open(path)
+    img = np.frombuffer(cab, np.uint8)
+    out = np.empty(len(data1) + len(data2), np.uint8)
+    offs = native.cab_mszip_pipeline(
+        img, [f.data[0].offset for f in parsed.folders],
+        [f.num_blocks for f in parsed.folders], parsed.block_resv, out)
+    assert offs == [0, len(data1), len(data1) + len(data2)]
+    assert out[:len(data1)].tobytes() == data1
+    assert out[len(data1):].tobytes() == data2
+
+    # corrupt one payload byte -> checksum mismatch -> decline
+    bad = bytearray(cab)
+    blk_off = parsed.folders[0].data[0].offset
+    bad[blk_off + 8 + 10] ^= 0xFF
+    offs = native.cab_mszip_pipeline(
+        np.frombuffer(bytes(bad), np.uint8),
+        [f.data[0].offset for f in parsed.folders],
+        [f.num_blocks for f in parsed.folders], parsed.block_resv, out)
+    assert offs is None
