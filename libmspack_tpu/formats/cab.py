@@ -210,6 +210,7 @@ class CabDecompressor:
         self.engine = resolve_engine(engine)
         self._scratch_out = None   # warm decode arena (native.Scratch)
         self._scratch_in = None    # warm staging arena
+        self._img_cache = None     # (Cabinet, np image view)
         self._d: Optional[_DecompState] = None
         self._folder_cache: tuple | None = None  # (folder, bytes)
         self.last_error = 0
@@ -598,6 +599,22 @@ class CabDecompressor:
         # fast paths: decode the whole folder once (native thread pool or
         # TPU device pipeline), then serve every file from the cache
         if (self.engine == "native" and not self.salvage
+                and not self.fix_mszip
+                and (fol.comp_type & COMPTYPE_MASK) <= COMPTYPE_LZX):
+            folder_bytes = self._folder_bytes_pipeline(fol)
+            if folder_bytes is not None:
+                sink = output if isinstance(output, Sink) else FileSink(output)
+                try:
+                    if file.offset + filelen > len(folder_bytes):
+                        raise DecrunchError("file beyond decoded folder")
+                    sink.write(folder_bytes[file.offset :
+                                            file.offset + filelen])
+                    return
+                finally:
+                    if sink is not output and hasattr(sink, "close"):
+                        sink.close()
+
+        if (self.engine == "native" and not self.salvage
                 and (fol.comp_type & COMPTYPE_MASK) in (COMPTYPE_LZX,
                                                         COMPTYPE_QUANTUM)):
             folder_bytes = self._folder_bytes_lzx_native(fol)
@@ -651,6 +668,62 @@ class CabDecompressor:
             d.outsink = None
             if sink is not output and hasattr(sink, "close"):
                 sink.close()
+
+    def _cab_image(self, cab: Cabinet):
+        """Zero-copy uint8 view over the cabinet image (memmap for
+        paths, frombuffer for in-memory cabs); None when unavailable."""
+        if self._img_cache is not None and self._img_cache[0] is cab:
+            return self._img_cache[1]
+        import numpy as np
+        ref = cab.source_ref
+        try:
+            if isinstance(ref, str):
+                img = np.memmap(ref, dtype=np.uint8, mode="r")
+            elif isinstance(ref, (bytes, bytearray, memoryview)):
+                img = np.frombuffer(ref, np.uint8)
+            else:
+                return None
+        except (OSError, ValueError):
+            return None
+        self._img_cache = (cab, img)
+        return img
+
+    def _folder_bytes_pipeline(self, fol: CabFolder):
+        """Whole-folder decode through the native cab pipeline (CFDATA
+        walk + checksum + codec decode in one C call). None falls back
+        to the per-engine fast paths / scalar driver."""
+        if self._folder_cache is not None and self._folder_cache[0] is fol:
+            return self._folder_cache[1]
+        if len(fol.data) != 1 or fol.merge_prev or fol.merge_next:
+            return None
+        img = self._cab_image(fol.data[0].cab)
+        if img is None:
+            return None
+        try:
+            from .. import native
+            if not native.available():
+                return None
+            if self._scratch_out is None:
+                self._scratch_out = native.Scratch()
+            out_cap = fol.num_blocks * BLOCKMAX
+            out = self._scratch_out.get(max(out_cap, 1))
+            ct = fol.comp_type & COMPTYPE_MASK
+            stage = None
+            if ct in (COMPTYPE_QUANTUM, COMPTYPE_LZX):
+                if self._scratch_in is None:
+                    self._scratch_in = native.Scratch()
+                stage = self._scratch_in.get(
+                    fol.num_blocks * (INPUTMAX + 1) or 1)
+            offs = native.cab_pipeline(
+                img, [fol.data[0].offset], [fol.num_blocks],
+                [fol.comp_type], fol.data[0].cab.block_resv, out, stage)
+        except Exception:
+            return None
+        if offs is None:
+            return None
+        view = out[: offs[1]]
+        self._folder_cache = (fol, view)
+        return view
 
     def _folder_bytes_fast(self, fol: CabFolder) -> bytes | None:
         """Decode an entire MSZIP folder via the batched speculative

@@ -56,6 +56,7 @@ def lib():
         _lib.msp_lzx_encode.restype = ctypes.c_int64
         _lib.msp_lzx_encode_many.restype = ctypes.c_int
         _lib.msp_cab_mszip_pipeline.restype = ctypes.c_int
+        _lib.msp_cab_pipeline.restype = ctypes.c_int
         _lib.msp_qtm_decode.restype = ctypes.c_int
     return _lib
 
@@ -255,6 +256,37 @@ def lzx_decode(stream: bytes, window_bits: int, reset_interval: int,
                            ref_data):
         return None
     return out[:out_len].tobytes()
+
+
+def cab_pipeline(cab, data_offsets: list[int], nblocks: list[int],
+                 comp_types: list[int], block_resv: int, out, stage=None,
+                 verify: bool = True,
+                 n_threads: int | None = None) -> list[int] | None:
+    """Whole-cabinet decode for any folder codec mix (NONE / MSZIP /
+    Quantum / LZX): CFDATA walk + checksum + decode in one native call,
+    folder-parallel. `stage` is a warm arena for making LZX/Quantum
+    inputs contiguous (compressed-size bound; len(cab) always safe).
+    Returns folder output offsets (n+1) or None to fall back."""
+    L = lib()
+    n = len(data_offsets)
+    offs = (ctypes.c_int64 * n)(*data_offsets)
+    nbl = (ctypes.c_int32 * n)(*nblocks)
+    cts = (ctypes.c_uint32 * n)(*comp_types)
+    foffs = (ctypes.c_int64 * (n + 1))()
+    if stage is None:
+        stage_ptr, stage_cap = None, 0
+    else:
+        stage_ptr = stage.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        stage_cap = stage.nbytes
+    r = L.msp_cab_pipeline(
+        _as_ptr(cab), ctypes.c_uint64(len(cab)), offs, nbl, cts, block_resv,
+        n, 1 if verify else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(out.nbytes), foffs, stage_ptr,
+        ctypes.c_uint64(stage_cap), n_threads or default_threads())
+    if r != 0:
+        return None
+    return list(foffs)
 
 
 def cab_mszip_pipeline(cab, data_offsets: list[int], nblocks: list[int],

@@ -1640,6 +1640,16 @@ struct Encoder {
 
 extern "C" {
 
+// forward declarations (pipeline dispatch below uses these)
+int msp_lzx_decode(const uint8_t* stream, uint64_t stream_len,
+                   int window_bits, int reset_interval_frames,
+                   int64_t output_length, int is_delta,
+                   const uint8_t* ref_data, uint32_t ref_len,
+                   uint8_t* out, uint64_t out_cap);
+int msp_qtm_decode(const uint8_t* stream, uint64_t stream_len,
+                   int window_bits, int64_t out_len, uint8_t* out,
+                   uint64_t out_cap);
+
 // Decode one MSZIP folder: frames[i] are the deflate streams (CK
 // stripped), sizes[i] their expected output lengths. Thread-parallel
 // phase A, sequential phase B. Returns 0 on success.
@@ -1915,23 +1925,30 @@ int msp_lzx_encode_many(const uint8_t* const* datas, const uint64_t* lens,
 }
 
 
-// Whole-cabinet MSZIP decode (see cabpipe above). data_offsets /
-// nblocks describe each folder's CFDATA chain inside `cab`; outputs
-// land back-to-back in `out` with folder_out_offsets[n_folders+1]
-// filled in. Returns 0, or an error telling the caller to fall back.
-int msp_cab_mszip_pipeline(const uint8_t* cab, uint64_t cab_len,
-                           const int64_t* data_offsets,
-                           const int32_t* nblocks, int block_resv,
-                           int n_folders, int verify, uint8_t* out,
-                           uint64_t out_cap, int64_t* folder_out_offsets,
-                           int n_threads) {
+// Whole-cabinet decode (see cabpipe above): CFDATA walk + checksum +
+// per-folder codec decode, folder-parallel with no phase barrier.
+// comp_types[f] is the raw CFFOLDER value (low byte codec 0/1/2/3,
+// high bits window size for LZX/Quantum). `stage` is a caller-owned
+// warm arena (>= total compressed size; cab_len always suffices) used
+// to make LZX/Quantum inputs contiguous. Returns 0, or an error code
+// telling the caller to fall back to the exact-semantics driver.
+int msp_cab_pipeline(const uint8_t* cab, uint64_t cab_len,
+                     const int64_t* data_offsets, const int32_t* nblocks,
+                     const uint32_t* comp_types, int block_resv,
+                     int n_folders, int verify, uint8_t* out,
+                     uint64_t out_cap, int64_t* folder_out_offsets,
+                     uint8_t* stage, uint64_t stage_cap, int n_threads) {
   std::vector<std::vector<cabpipe::Frame>> folders(n_folders);
+  std::vector<uint64_t> stage_offs(n_folders + 1, 0);
   int64_t out_total = 0;
   for (int f = 0; f < n_folders; f++) {
     folder_out_offsets[f] = out_total;
+    int codec = comp_types[f] & 0x0F;
+    if (codec > 3) return 8;
     uint64_t off = (uint64_t)data_offsets[f];
     auto& fr = folders[f];
     fr.reserve(nblocks[f]);
+    uint64_t csum_bytes = 0;
     for (int b = 0; b < nblocks[f]; b++) {
       if (off + 8 > cab_len) return 2;
       uint32_t cksum = (uint32_t)cab[off] | ((uint32_t)cab[off + 1] << 8) |
@@ -1945,13 +1962,22 @@ int msp_cab_mszip_pipeline(const uint8_t* cab, uint64_t cab_len,
       if (clen > 32768 + 6144) return 3;
       const uint8_t* p = cab + off;
       off += clen;
-      if (clen < 2 || p[0] != 'C' || p[1] != 'K') return 4;
+      if (codec == 1 && (clen < 2 || p[0] != 'C' || p[1] != 'K')) return 4;
+      if (codec == 0 && clen != ulen) return 4;
       fr.push_back({p, clen, ulen, cksum});
       out_total += ulen;
+      csum_bytes += clen;
     }
+    // only LZX/Quantum stage contiguous input; Quantum gets a 0xFF
+    // realign trailer per block (cabd.c:1327-1332)
+    uint64_t need = codec >= 2
+                        ? csum_bytes + (codec == 2 ? (uint64_t)nblocks[f] : 0)
+                        : 0;
+    stage_offs[f + 1] = stage_offs[f] + need;
   }
   folder_out_offsets[n_folders] = out_total;
   if ((uint64_t)out_total > out_cap) return 5;
+  if (stage_offs[n_folders] > stage_cap) return 5;
 
   std::atomic<int> nf(0);
   std::atomic<int> err(0);
@@ -1960,59 +1986,89 @@ int msp_cab_mszip_pipeline(const uint8_t* cab, uint64_t cab_len,
     for (;;) {
       int f = nf.fetch_add(1);
       if (f >= n_folders) break;
+      if (err.load(std::memory_order_relaxed)) return;
+      int codec = comp_types[f] & 0x0F;
       uint8_t* fout = out + folder_out_offsets[f];
-      size_t pos = 0;
       uint64_t fcap =
           (uint64_t)(folder_out_offsets[f + 1] - folder_out_offsets[f]);
-      for (auto& frm : folders[f]) {
-        if (err.load(std::memory_order_relaxed)) return;
-        if (verify && frm.cksum) {
-          uint32_t s = cabpipe::cab_checksum(frm.p, frm.clen, 0);
+      // checksum pass (all codecs)
+      if (verify) {
+        for (auto& frm : folders[f]) {
+          if (!frm.cksum) continue;
+          uint32_t sum = cabpipe::cab_checksum(frm.p, frm.clen, 0);
           uint8_t tail[4] = {(uint8_t)(frm.clen & 0xFF),
                              (uint8_t)(frm.clen >> 8),
                              (uint8_t)(frm.ulen & 0xFF),
                              (uint8_t)(frm.ulen >> 8)};
-          if (cabpipe::cab_checksum(tail, 4, s) != frm.cksum) {
+          if (cabpipe::cab_checksum(tail, 4, sum) != frm.cksum) {
             err.store(6);
             return;
           }
         }
-        ft.cmds.clear();
-        tokenize_frame(frm.p + 2, frm.clen - 2, &ft);
-        if (ft.err || ft.out_len != frm.ulen) {
-          err.store(7);
-          return;
+      }
+      if (codec == 0) {  // NONE: block copy (cabd.c:1502-1551)
+        size_t pos = 0;
+        for (auto& frm : folders[f]) {
+          memcpy(fout + pos, frm.p, frm.ulen);
+          pos += frm.ulen;
         }
-        const uint8_t* lit = ft.lits.data();
-        for (uint32_t cmd : ft.cmds) {
-          uint32_t l = cmd & 0xFFFF;
-          uint32_t d = cmd >> 16;
-          if (pos + l > fcap) {
-            err.store(20);
+      } else if (codec == 1) {  // MSZIP: stream tokenize + resolve
+        size_t pos = 0;
+        for (auto& frm : folders[f]) {
+          ft.cmds.clear();
+          tokenize_frame(frm.p + 2, frm.clen - 2, &ft);
+          if (ft.err || ft.out_len != frm.ulen) {
+            err.store(7);
             return;
           }
-          uint8_t* dst = fout + pos;
-          if (d == 0) {
-            memcpy(dst, lit, l);
-            lit += l;
-          } else if (d > pos) {
-            err.store(21);
-            return;
-          } else if (d >= l) {
-            memcpy(dst, dst - d, l);
-          } else if (d >= 8) {
-            const uint8_t* src = dst - d;
-            size_t done = 0;
-            while (done < l) {
-              size_t chunk = d < (l - done) ? d : (l - done);
-              memcpy(dst + done, src + done, chunk);
-              done += chunk;
+          const uint8_t* lit = ft.lits.data();
+          for (uint32_t cmd : ft.cmds) {
+            uint32_t l = cmd & 0xFFFF;
+            uint32_t d = cmd >> 16;
+            if (pos + l > fcap) {
+              err.store(20);
+              return;
             }
-          } else {
-            const uint8_t* src = dst - d;
-            for (uint32_t i = 0; i < l; i++) dst[i] = src[i];
+            uint8_t* dst = fout + pos;
+            if (d == 0) {
+              memcpy(dst, lit, l);
+              lit += l;
+            } else if (d > pos) {
+              err.store(21);
+              return;
+            } else if (d >= l) {
+              memcpy(dst, dst - d, l);
+            } else if (d >= 8) {
+              const uint8_t* src = dst - d;
+              size_t done = 0;
+              while (done < l) {
+                size_t chunk = d < (l - done) ? d : (l - done);
+                memcpy(dst + done, src + done, chunk);
+                done += chunk;
+              }
+            } else {
+              const uint8_t* src = dst - d;
+              for (uint32_t i = 0; i < l; i++) dst[i] = src[i];
+            }
+            pos += l;
           }
-          pos += l;
+        }
+      } else {  // LZX (3) / Quantum (2): contiguous staging + decode
+        uint8_t* sp = stage + stage_offs[f];
+        uint64_t n = 0;
+        for (auto& frm : folders[f]) {
+          memcpy(sp + n, frm.p, frm.clen);
+          n += frm.clen;
+          if (codec == 2) sp[n++] = 0xFF;
+        }
+        int wb = (comp_types[f] >> 8) & 0x1F;
+        int r = codec == 3
+                    ? msp_lzx_decode(sp, n, wb, 0, (int64_t)fcap, 0, nullptr,
+                                     0, fout, fcap)
+                    : msp_qtm_decode(sp, n, wb, (int64_t)fcap, fout, fcap);
+        if (r) {
+          err.store(30 + r);
+          return;
         }
       }
     }
@@ -2027,6 +2083,20 @@ int msp_cab_mszip_pipeline(const uint8_t* cab, uint64_t cab_len,
     for (auto& th : ths) th.join();
   }
   return err.load();
+}
+
+// Back-compat MSZIP-only entry: routes through msp_cab_pipeline with a
+// zero-length stage (MSZIP never stages).
+int msp_cab_mszip_pipeline(const uint8_t* cab, uint64_t cab_len,
+                           const int64_t* data_offsets,
+                           const int32_t* nblocks, int block_resv,
+                           int n_folders, int verify, uint8_t* out,
+                           uint64_t out_cap, int64_t* folder_out_offsets,
+                           int n_threads) {
+  std::vector<uint32_t> ct(n_folders, 1);
+  return msp_cab_pipeline(cab, cab_len, data_offsets, nblocks, ct.data(),
+                          block_resv, n_folders, verify, out, out_cap,
+                          folder_out_offsets, nullptr, 0, n_threads);
 }
 
 int msp_version(void) { return 1; }
