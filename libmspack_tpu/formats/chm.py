@@ -616,10 +616,14 @@ class ChmDecompressor:
             if window_bits is None or reset_interval == 0                     or reset_interval % FRAME_SIZE:
                 return None
             res = self._read_reset_table(d, sec, 0)
+            reset_offsets = None
             if res is not None:
                 length, _ = res
                 length += reset_interval - 1
                 length &= -reset_interval
+                reset_offsets = self._read_reset_offsets(
+                    d, sec, reset_interval // FRAME_SIZE,
+                    (length + reset_interval - 1) // reset_interval)
             else:
                 length = self._read_spaninfo(d, sec)
             d.insrc.seek(chm.sec0.offset + sec.content.offset)
@@ -627,9 +631,19 @@ class ChmDecompressor:
             if self._scratch_out is None:
                 self._scratch_out = native.Scratch()
             out = self._scratch_out.get(max(length, 1))[:length]
-            if not native.lzx_decode_into(stream, len(stream), window_bits,
-                                          reset_interval // FRAME_SIZE,
-                                          out, length):
+            rframes = reset_interval // FRAME_SIZE
+            if reset_offsets and len(reset_offsets) > 1:
+                # reset points are independent decode chunks: thread them
+                # (the ResetTable IS the parallel shard grid, SURVEY §2.4)
+                sizes = [min(reset_interval, length - i * reset_interval)
+                         for i in range(len(reset_offsets))]
+                if not native.lzx_chunks_into(stream, reset_offsets,
+                                              window_bits, rframes, out,
+                                              sizes):
+                    return None
+            elif not native.lzx_decode_into(stream, len(stream),
+                                            window_bits, rframes, out,
+                                            length):
                 return None
             self._sec1_cache = (chm, out)
             return out
@@ -731,6 +745,36 @@ class ChmDecompressor:
                 return None
             return (length, offset)
         return None
+
+    def _read_reset_offsets(self, d: _DecompState, sec: ChmSec1,
+                            step: int, n_chunks: int):
+        """Compressed-stream byte offsets of every reset point (entries
+        0, step, 2*step, ... of the ResetTable). None when the table
+        cannot vouch for them (then the sequential path runs)."""
+        if step <= 0 or n_chunks <= 0:
+            return None
+        try:
+            data = self._read_sys_file(d, sec.rtable)
+        except MSPackError:
+            return None
+        entrysize = int.from_bytes(data[0x08:0x0C], "little")
+        num_entries = int.from_bytes(data[0x04:0x08], "little")
+        table_offset = int.from_bytes(data[0x0C:0x10], "little")
+        if entrysize not in (4, 8):
+            return None
+        offsets = []
+        prev = -1
+        for k in range(n_chunks):
+            entry = k * step
+            pos = table_offset + entry * entrysize
+            if entry >= num_entries or pos > len(data) - entrysize:
+                return None
+            off = int.from_bytes(data[pos:pos + entrysize], "little")
+            if off >= 1 << 63 or off <= prev:
+                return None
+            offsets.append(off)
+            prev = off
+        return offsets
 
     def _read_spaninfo(self, d: _DecompState, sec: ChmSec1) -> int:
         """reference: chmd.c:1275-1315."""

@@ -258,6 +258,46 @@ def lzx_decode(stream: bytes, window_bits: int, reset_interval: int,
     return out[:out_len].tobytes()
 
 
+def lzx_chunks_into(stream, chunk_offsets: list[int], window_bits: int,
+                    reset_frames: int, out, chunk_out_lens: list[int],
+                    n_threads: int | None = None) -> bool:
+    """Decode the independent reset-interval chunks of one LZX stream in
+    parallel (the CHM ResetTable / checkpoint grid, SURVEY §2.4):
+    chunk i is stream[chunk_offsets[i]:chunk_offsets[i+1]] and decodes
+    standalone because LZX state fully resets at reset points."""
+    import numpy as np
+    L = lib()
+    n = len(chunk_offsets)
+    arr = stream if isinstance(stream, np.ndarray) \
+        else np.frombuffer(stream, np.uint8)
+    base = arr.ctypes.data
+    total_len = arr.nbytes
+    P = ctypes.POINTER(ctypes.c_uint8)
+    ptrs = (P * n)()
+    slens = (ctypes.c_uint64 * n)()
+    for i, off in enumerate(chunk_offsets):
+        end = chunk_offsets[i + 1] if i + 1 < n else total_len
+        if not (0 <= off <= end <= total_len):
+            return False
+        ptrs[i] = ctypes.cast(ctypes.c_void_p(base + off), P)
+        slens[i] = end - off
+    wbs = (ctypes.c_int * n)(*([window_bits] * n))
+    ris = (ctypes.c_int * n)(*([reset_frames] * n))
+    olens = (ctypes.c_int64 * n)(*chunk_out_lens)
+    ooffs = (ctypes.c_int64 * (n + 1))()
+    acc = 0
+    for i, ol in enumerate(chunk_out_lens):
+        ooffs[i] = acc
+        acc += ol
+    ooffs[n] = acc
+    if acc > out.nbytes:
+        return False
+    r = L.msp_lzx_many(
+        ctypes.cast(ptrs, ctypes.POINTER(P)), slens, wbs, ris, olens,
+        n, out.ctypes.data_as(P), ooffs, n_threads or default_threads())
+    return r == 0
+
+
 def cab_pipeline(cab, data_offsets: list[int], nblocks: list[int],
                  comp_types: list[int], block_resv: int, out, stage=None,
                  verify: bool = True,

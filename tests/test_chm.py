@@ -74,3 +74,32 @@ def test_chm_corpus_matches_oracle(path):
     else:
         assert (ref_ext_err != 0) == (our_err != 0), \
             f"{path}: ours={our_err} ref={ref_ext_err}"
+
+
+def test_parallel_reset_chunk_decode():
+    """ResetTable chunks decode in parallel on the native engine and
+    match the scalar reference path bit-exactly."""
+    import random
+    import libmspack_tpu as m
+    from libmspack_tpu import native
+    from libmspack_tpu.compress import chm_c
+    from libmspack_tpu.system import BytesSink
+    if not native.available():
+        import pytest
+        pytest.skip("native engine unavailable")
+    rng = random.Random(3)
+    words = [bytes(rng.choices(b'abcdef the of and <p>',
+                               k=rng.randint(3, 11))) for _ in range(60)]
+    big = b''.join(rng.choice(words) for _ in range(300_000))[:1_000_000]
+    chm = chm_c.write_chm([("big.html", big)], window_bits=16,
+                          reset_frames=2)
+    outs = {}
+    for eng in ("scalar", "native"):
+        d = m.create_chm_decompressor(engine=eng)
+        h = d.open(chm)
+        f = [x for x in h.files if x.filename.endswith("big.html")][0]
+        s = BytesSink()
+        d.extract(f, s)
+        outs[eng] = s.getvalue()
+    assert outs["scalar"] == big
+    assert outs["native"] == big
