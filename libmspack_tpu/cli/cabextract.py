@@ -15,7 +15,9 @@ import argparse
 import fnmatch
 import hashlib
 import os
+import stat
 import sys
+import time
 
 from ..errors import MSPackError
 from ..formats.cab import CabDecompressor, Cabinet
@@ -194,15 +196,120 @@ def load_spanning_cabinets(cabd: CabDecompressor, basecab: Cabinet,
         cab = cab.nextcab
 
 
-def _ensure_filepath(path: str) -> bool:
-    d = os.path.dirname(path)
-    if not d:
+def _ensure_filepath(path: str, archive_offset: int,
+                     keep_symlinks: bool) -> bool:
+    """Create the directories leading to `path`. In the
+    archive-controlled part of the path (beyond archive_offset),
+    symlinked directories are REMOVED and replaced with real ones
+    unless -k; symlinks in the user-supplied -d prefix are honoured
+    (reference: cabextract.c:1211-1238, pinned by symlinks.test)."""
+    global _UMASK
+    if _UMASK is None:
+        _UMASK = os.umask(0)
+        os.umask(_UMASK)
+    for i in range(1, len(path)):
+        if path[i] != "/":
+            continue
+        prefix = path[:i]
+        if i < archive_offset or keep_symlinks:
+            ok = os.path.isdir(prefix)
+        else:
+            try:
+                st = os.lstat(prefix)
+                if stat.S_ISLNK(st.st_mode):
+                    os.unlink(prefix)
+                ok = stat.S_ISDIR(st.st_mode)
+            except OSError:
+                ok = False
+        if not ok:
+            try:
+                os.mkdir(prefix, 0o777 & ~_UMASK)
+            except OSError:
+                return False
+    return True
+
+
+def convert_filenames(files, encoding: str) -> None:
+    """-e: convert non-UTF8 cab filenames from the given charset to
+    UTF-8 before output-name generation (reference: cabextract.c
+    convert_filenames; invalid sequences become U+FFFD)."""
+    for f in files:
+        if f.attribs & 0x80:      # already flagged UTF-8
+            continue
+        raw = f.filename.encode("latin-1", "replace")
+        try:
+            conv = raw.decode(encoding, "replace")
+        except LookupError:
+            raise SystemExit(f"cabextract: bad encoding {encoding!r}")
+        # re-materialise as the byte-transparent latin-1 carrier the
+        # sanitiser consumes, now holding UTF-8 bytes
+        f.filename = conv.encode("utf-8").decode("latin-1")
+        f.attribs |= 0x80
+
+
+_INTERACTIVE_ANSWER = {"value": ""}
+
+
+def can_write(name: str, args) -> bool:
+    """Overwrite policy (reference: cabextract.c:954-990): -n never
+    overwrites, -i prompts ([y]es/[n]o/[A]ll/[N]one), and unless -k is
+    given an existing file is unlink()ed first so symlinks are removed
+    rather than written through."""
+    if not os.path.lexists(name):
         return True
-    try:
-        os.makedirs(d, exist_ok=True)
-        return True
-    except OSError:
+    if args.no_overwrite:
         return False
+    if args.interactive:
+        ans = _INTERACTIVE_ANSWER["value"]
+        if ans.startswith("N"):
+            return False
+        if not ans.startswith("A"):
+            while True:
+                try:
+                    reply = input(f"replace {name}? [y]es, [n]o, "
+                                  "[A]ll, [N]one: ")
+                except EOFError:
+                    return False
+                if reply[:1] in ("n", "N", "y", "A"):
+                    if reply[:1] in ("N", "A"):
+                        _INTERACTIVE_ANSWER["value"] = reply[:1]
+                    if reply[:1] in ("n", "N"):
+                        return False
+                    break
+                print(f'invalid response "{reply}", type y, n, A or N')
+    if not args.keep_symlinks:
+        try:
+            os.unlink(name)
+        except OSError as e:
+            print(f"can't remove old {name}: {e}", file=sys.stderr)
+            return False
+    return True
+
+
+_UMASK = None
+
+
+def set_date_and_perm(file, name: str) -> None:
+    """reference: cabextract.c:999-1031."""
+    global _UMASK
+    if _UMASK is None:
+        _UMASK = os.umask(0)
+        os.umask(_UMASK)
+    try:
+        t = time.mktime((file.date_y, file.date_m, file.date_d,
+                         file.time_h, file.time_m, file.time_s, 0, 0, -1))
+        os.utime(name, (t, t))
+    except (OverflowError, ValueError, OSError):
+        pass
+    mode = 0o444
+    if file.attribs & 0x40:          # MSCAB_ATTRIB_EXEC
+        mode |= 0o111
+    if not (file.attribs & 0x01):    # MSCAB_ATTRIB_RDONLY
+        mode |= 0o222
+    try:
+        os.chmod(name, mode & ~_UMASK)
+    except OSError:
+        pass
 
 
 class _StdoutSink:
@@ -234,6 +341,8 @@ def process_cabinet(cab_path: str, args) -> int:
         if not args.single:
             load_spanning_cabinets(cabd, cab, cab_path, args.quiet)
 
+        if args.encoding:
+            convert_filenames(cab.files, args.encoding)
         isunix = unix_path_separators(cab.files)
 
         if not viewhdr:
@@ -285,10 +394,13 @@ def process_cabinet(cab_path: str, args) -> int:
                 else:
                     if not args.quiet:
                         print(f"  extracting {name}")
-                    if not _ensure_filepath(name):
+                    if not _ensure_filepath(name, fname_offset,
+                                            args.keep_symlinks):
                         print(f"{name}: can't create file path",
                               file=sys.stderr)
                         errors += 1
+                        continue
+                    if not can_write(name, args):
                         continue
                     try:
                         sink = FileSink(name)
@@ -296,6 +408,7 @@ def process_cabinet(cab_path: str, args) -> int:
                             cabd.extract(file, sink)
                         finally:
                             sink.close()
+                        set_date_and_perm(file, name)
                     except MSPackError as e:
                         print(f"{name}: {e}", file=sys.stderr)
                         errors += 1
@@ -325,6 +438,17 @@ def main(argv=None) -> int:
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("-s", "--single", action="store_true",
                    help="don't load spanning cabinets")
+    p.add_argument("-e", "--encoding", default=None,
+                   help="assume non-UTF8 filenames use this charset")
+    p.add_argument("-i", "--interactive", action="store_true",
+                   help="ask before overwriting files")
+    p.add_argument("-n", "--no-overwrite", dest="no_overwrite",
+                   action="store_true", help="never overwrite files")
+    p.add_argument("-k", "--keep-symlinks", dest="keep_symlinks",
+                   action="store_true",
+                   help="don't remove existing symlinks before writing")
+    p.add_argument("-v", "--version", action="version",
+                   version="cabextract 1.11 (libmspack_tpu)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "scalar", "jax", "native"],
                    help="decode engine (jax = TPU path)")

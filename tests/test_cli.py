@@ -112,3 +112,94 @@ def test_lowercase_option():
     r = run_cli(["-l", "-q", os.path.join(oracle.REF_TEST_FILES, "cabd",
                                           "normal_255c_filename.cab")])
     assert r.returncode == 0
+
+
+def test_encoding_golden():
+    """Golden listings with -e charset conversion
+    (reference: cabextract/test/encoding.test)."""
+    r = run_cli(["-e", "koi8_r", "-l", "cabs/encoding-koi8.cab"])
+    assert r.stdout == """\
+Viewing cabinet: cabs/encoding-koi8.cab
+ File size | Date       Time     | Name
+-----------+---------------------+-------------
+         0 | 12.03.1997 11:13:52 | Здравствуйте, это канал об аниме?
+         0 | 12.03.1997 11:13:52 | Да.
+         0 | 12.03.1997 11:13:52 | Как мне пропатчить KDE2 под FreeBSD?
+
+All done, no errors.
+"""
+    r = run_cli(["-e", "sjis", "-l", "cabs/encoding-sjis.cab"])
+    assert "猿も木から落ちる" in r.stdout
+    assert "虎穴に入らずんば虎子を得ず" in r.stdout
+    assert r.stdout.strip().endswith("All done, no errors.")
+    r = run_cli(["-e", "iso-8859-1", "-l", "cabs/encoding-latin1.cab"])
+    assert "àáâãäåæçèéêëìíîïðñòóôõö÷øùúûüýþÿ" in r.stdout
+
+
+def test_symlink_handling(tmp_path):
+    """Symlink attack defences + -k and -n semantics
+    (reference: cabextract/test/symlinks.test)."""
+    t = str(tmp_path)
+    other = os.path.join(t, "other.c")
+    open(other, "w").close()
+    os.makedirs(os.path.join(t, "1", "2"))
+    os.mkdir(os.path.join(t, "other"))
+    os.symlink(other, os.path.join(t, "plain.c"))
+    os.symlink(os.path.join(t, "other"), os.path.join(t, "1", "2", "3"))
+
+    r = run_cli(["-q", "-d", t, "cabs/dir.cab"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(os.path.join(t, "plain.c")) > 0
+    assert os.path.getsize(other) == 0          # symlink NOT followed
+    assert os.path.getsize(os.path.join(t, "1", "2", "3", "4.c")) > 0
+    assert not os.path.exists(os.path.join(t, "other", "4.c"))
+
+    # -k: symlinks followed
+    import shutil
+    shutil.rmtree(os.path.join(t, "1", "2", "3"))
+    os.unlink(os.path.join(t, "plain.c"))
+    os.symlink(other, os.path.join(t, "plain.c"))
+    os.symlink(os.path.join(t, "other"), os.path.join(t, "1", "2", "3"))
+    r = run_cli(["-q", "-k", "-d", t, "cabs/dir.cab"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(other) > 0
+    assert os.path.islink(os.path.join(t, "plain.c"))
+    assert os.path.getsize(os.path.join(t, "other", "4.c")) > 0
+    assert os.path.islink(os.path.join(t, "1", "2", "3"))
+
+    # -d path symlinks are preserved while archive-path symlinks are not
+    shutil.rmtree(os.path.join(t, "1"))
+    os.unlink(os.path.join(t, "other", "4.c"))
+    os.unlink(other)
+    os.unlink(os.path.join(t, "plain.c"))
+    open(other, "w").close()
+    os.mkdir(os.path.join(t, "real"))
+    os.symlink(os.path.join(t, "real"), os.path.join(t, "fake"))
+    os.makedirs(os.path.join(t, "fake", "dest", "1", "2"))
+    os.symlink(os.path.join(t, "other"),
+               os.path.join(t, "fake", "dest", "1", "2", "3"))
+    os.symlink(other, os.path.join(t, "plain.c"))
+    dest = os.path.join(t, "fake", "dest")
+    r = run_cli(["-q", "-d", dest, "cabs/dir.cab"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.getsize(os.path.join(dest, "plain.c")) > 0
+    assert os.path.getsize(other) == 0
+    assert os.path.getsize(os.path.join(dest, "1", "2", "3", "4.c")) > 0
+    assert os.path.islink(os.path.join(t, "fake"))
+    assert os.path.isdir(dest)
+
+    # -n: never overwrite
+    with open(os.path.join(dest, "plain.c"), "w") as fh:
+        fh.write("hello\n")
+    with open(os.path.join(dest, "1", "2", "3", "4.c"), "w") as fh:
+        fh.write("world\n")
+    r = run_cli(["-q", "-n", "-d", dest, "cabs/dir.cab"])
+    assert r.returncode == 0, r.stderr
+    assert open(os.path.join(dest, "plain.c")).read() == "hello\n"
+    assert open(os.path.join(dest, "1", "2", "3", "4.c")).read() == "world\n"
+
+
+def test_version_flag():
+    r = run_cli(["--version"])
+    assert r.returncode == 0
+    assert "cabextract" in r.stdout
