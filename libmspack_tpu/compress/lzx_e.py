@@ -276,10 +276,12 @@ class LzxEncoder:
     """One LZX stream (CAB folder / CHM section / OAB block)."""
 
     def __init__(self, window_bits: int, reset_interval: int = 0,
-                 is_delta: bool = False, max_chain: int = 64):
+                 is_delta: bool = False, max_chain: int = 64,
+                 block_frames: int = 32):
         lo, hi = (17, 25) if is_delta else (15, 21)
         if not (lo <= window_bits <= hi):
             raise ValueError("bad LZX window bits")
+        self.block_frames = max(1, block_frames)
         self.window_bits = window_bits
         self.window_size = 1 << window_bits
         self.reset_interval = reset_interval
@@ -398,11 +400,18 @@ class LzxEncoder:
                 align_extra += eb
         return fmain, flen, falign, verb_extra, align_extra
 
-    def _emit_block(self, w: LzxBitWriter, tokens, frame_len: int,
-                    prev_main: list[int], prev_len: list[int],
-                    frame_data: bytes, R_before: list[int],
-                    R_after: list[int], more_blocks: bool) -> None:
-        fmain, flen, falign, verb_extra, align_extra = self._freqs(tokens)
+    def _emit_block_group(self, w: LzxBitWriter, frames, prev_main,
+                          prev_len, R_before: list[int],
+                          more_blocks: bool, offsets: list[int],
+                          first_of_chunk: bool) -> bool:
+        """Emit ONE block covering `frames` (list of (tokens, data)
+        tuples, one per 32 KiB output frame — trees amortise across the
+        whole block). Per-frame obligations (offsets list, DELTA chunk
+        fields, 16-bit realign at frame ends) are handled here. Returns
+        True if an UNCOMPRESSED block was chosen (caller restores R)."""
+        all_tokens = [t for toks, _ in frames for t in toks]
+        block_len = sum(len(d) for _, d in frames)
+        fmain, flen, falign, verb_extra, align_extra = self._freqs(all_tokens)
         mlens = make_lengths(fmain, TREE_LEN_LIMIT)
         llens = make_lengths(flen, TREE_LEN_LIMIT)
 
@@ -418,35 +427,74 @@ class LzxEncoder:
         acost = sum(alens[s] * f for s, f in enumerate(falign) if f)
         verb_bits = 3 + 24 + tree_cost + body + verb_extra
         alig_bits = 3 + 24 + 24 + tree_cost + body + align_extra + acost
-        unc_bits = 3 + 24 + 16 + 8 * (12 + frame_len + (frame_len & 1))
+        unc_bits = 3 + 24 + 16 + 8 * (12 + block_len + (block_len & 1))
+        stored = unc_bits < min(verb_bits, alig_bits)
 
-        if unc_bits < min(verb_bits, alig_bits):
+        def frame_prologue(idx: int):
+            """offset bookkeeping + DELTA chunk field + intel bit."""
+            offsets.append(len(w.out))
+            patch = None
+            if self.is_delta:
+                assert w.bit_aligned
+                patch = len(w.out)
+                w.write_bits(0, 16)
+            if idx == 0 and first_of_chunk:
+                w.write_bits(0, 1)  # no intel E8 filesize
+            return patch
+
+        def frame_epilogue(patch):
+            if not w.bit_aligned:
+                w.align16()
+            if patch is not None:
+                chunk = len(w.out) - patch - 2
+                w.out[patch:patch + 2] = chunk.to_bytes(2, "little")
+
+        if stored:
+            patch = frame_prologue(0)
             w.write_bits(3, 3)
-            w.write_bits(frame_len, 24)
+            w.write_bits(block_len, 24)
             w.align16()
             for r in R_before:
                 w.write_bytes(r.to_bytes(4, "little"))
-            w.write_bytes(frame_data)
-            if (frame_len & 1) and more_blocks:
+            w.write_bytes(frames[0][1])
+            frame_epilogue(patch)
+            for toks, d in frames[1:]:
+                patch = frame_prologue(-1)
+                w.write_bytes(d)
+                frame_epilogue(patch)
+            if (block_len & 1) and more_blocks:
                 w.write_bytes(b"\x00")
-            R_after[:] = R_before
-            return
+            return True
 
         aligned = alig_bits < verb_bits
-        w.write_bits(2 if aligned else 1, 3)
-        w.write_bits(frame_len, 24)
         acodes = canonical_codes(alens)
-        if aligned:
-            for i in range(8):
-                w.write_bits(alens[i], 3)
-        write_lens(w, prev_main, mlens, 0, 256)
-        write_lens(w, prev_main, mlens, 256, NUM_CHARS + self.num_offsets)
-        write_lens(w, prev_len, llens, 0, NUM_SECONDARY)
-        prev_main[:] = mlens
-        prev_len[:] = llens
         mcodes = canonical_codes(mlens)
         lcodes = canonical_codes(llens)
+        first = True
+        for toks, _ in frames:
+            patch = frame_prologue(0 if first else -1)
+            if first:
+                w.write_bits(2 if aligned else 1, 3)
+                w.write_bits(block_len, 24)
+                if aligned:
+                    for i in range(8):
+                        w.write_bits(alens[i], 3)
+                write_lens(w, prev_main, mlens, 0, 256)
+                write_lens(w, prev_main, mlens, 256,
+                           NUM_CHARS + self.num_offsets)
+                write_lens(w, prev_len, llens, 0, NUM_SECONDARY)
+                prev_main[:] = mlens
+                prev_len[:] = llens
+                first = False
+            self._emit_tokens(w, toks, aligned, mcodes, mlens, lcodes,
+                              llens, acodes, alens)
+            frame_epilogue(patch)
+        if len(w.out) & 1:
+            w.write_bytes(b"\x00")
+        return False
 
+    def _emit_tokens(self, w, tokens, aligned, mcodes, mlens, lcodes,
+                     llens, acodes, alens) -> None:
         for t in tokens:
             if t[0] == 0:
                 w.write_bits(mcodes[t[1]], mlens[t[1]])
@@ -497,7 +545,9 @@ class LzxEncoder:
         """Encode data; returns (stream, per-frame byte offsets).
 
         ref_data (DELTA only) is addressable before the stream start
-        exactly as lzxd preloads it at the window tail."""
+        exactly as lzxd preloads it at the window tail. Frames group
+        into multi-frame blocks (up to block_frames, never across a
+        reset boundary) so tree overhead amortises."""
         if ref_data and not self.is_delta:
             raise ValueError("reference data needs a DELTA stream")
         origin = len(ref_data)
@@ -512,65 +562,63 @@ class LzxEncoder:
         prev_main = [0] * (NUM_CHARS + self.num_offsets)
         prev_len = [0] * NUM_SECONDARY
         R = [1, 1, 1]
-        chunk_start = 0  # reset boundary, in data coordinates
 
-        for i in range(nframes):
-            fstart = i * FRAME_SIZE
-            fend = min(fstart + FRAME_SIZE, len(data))
-            offsets.append(len(w.out))
-            reset = (i == 0 or
-                     (self.reset_interval and i % self.reset_interval == 0))
-            if reset:
+        if not data:
+            # zero-length stream: single empty uncompressed block
+            if self.is_delta:
+                w.write_bits(0, 16)
+            offsets.append(0)
+            w.write_bits(0, 1)
+            w.write_bits(3, 3)
+            w.write_bits(0, 24)
+            w.align16()
+            for r in R:
+                w.write_bytes(r.to_bytes(4, "little"))
+            return bytes(w.out), offsets
+
+        ri = self.reset_interval
+        i = 0
+        while i < nframes:
+            chunk_start_frame = i if (i == 0 or (ri and i % ri == 0)) else None
+            # i always lands on a chunk start or block boundary; compute
+            # the chunk this block belongs to
+            if i == 0 or (ri and i % ri == 0):
                 prev_main = [0] * (NUM_CHARS + self.num_offsets)
                 prev_len = [0] * NUM_SECONDARY
                 R = [1, 1, 1]
-                chunk_start = fstart
-
-            delta_patch = None
-            if self.is_delta:
-                delta_patch = len(w.out)
-                assert w.bit_aligned
-                w.write_bits(0, 16)  # chunk size, backpatched below
-            if reset:
-                w.write_bits(0, 1)   # no intel E8 filesize
-
-            if fend == fstart:
-                # zero-length stream: single empty uncompressed block
-                w.write_bits(3, 3)
-                w.write_bits(0, 24)
-                w.align16()
-                for r in R:
-                    w.write_bytes(r.to_bytes(4, "little"))
-                continue
+                chunk_start = i * FRAME_SIZE
+                first_of_chunk = True
+            # frames in this block: up to block_frames, not past the
+            # chunk end or the stream end
+            if ri:
+                chunk_end = min(nframes, (i // ri + 1) * ri)
+            else:
+                chunk_end = nframes
+            bend = min(i + self.block_frames, chunk_end)
 
             R_snapshot = list(R)
-            # reference data is only reachable from the first reset chunk
             cstart = origin + chunk_start if chunk_start else 0
-            tokens = self._tokenize_frame(
-                buf, matcher, origin + fstart, origin + fend, cstart,
-                origin, R)
-            R_after = list(R)
-            self._emit_block(w, tokens, fend - fstart, prev_main, prev_len,
-                             data[fstart:fend], R_snapshot, R_after,
-                             i + 1 < nframes)
-            R[:] = R_after
-
-            # frame end: realign to a 16-bit unit boundary
-            if not w.bit_aligned:
-                w.align16()
-            if len(w.out) & 1:
-                w.write_bytes(b"\x00")
-
-            if delta_patch is not None:
-                chunk = len(w.out) - delta_patch - 2
-                w.out[delta_patch:delta_patch + 2] = \
-                    chunk.to_bytes(2, "little")
+            frames = []
+            for k in range(i, bend):
+                fstart = k * FRAME_SIZE
+                fend = min(fstart + FRAME_SIZE, len(data))
+                toks = self._tokenize_frame(
+                    buf, matcher, origin + fstart, origin + fend, cstart,
+                    origin, R)
+                frames.append((toks, data[fstart:fend]))
+            stored = self._emit_block_group(
+                w, frames, prev_main, prev_len, R_snapshot,
+                bend < nframes, offsets, first_of_chunk)
+            if stored:
+                R = R_snapshot
+            first_of_chunk = False
+            i = bend
         return bytes(w.out), offsets
 
 
 def compress(data: bytes, window_bits: int, reset_interval: int = 0,
              is_delta: bool = False, ref_data: bytes = b"",
-             max_chain: int = 64,
+             max_chain: int = 64, block_frames: int = 32,
              engine: str = "auto") -> tuple[bytes, list[int]]:
     """Encode one LZX stream. engine: "auto" prefers the native C++
     encoder (msp_lzx_encode, ~50x faster, same algorithm), "python"
@@ -579,10 +627,11 @@ def compress(data: bytes, window_bits: int, reset_interval: int = 0,
         try:
             from .. import native
             r = native.lzx_encode(data, window_bits, reset_interval,
-                                  is_delta, ref_data, max_chain)
+                                  is_delta, ref_data, max_chain,
+                                  block_frames)
             if r is not None:
                 return r
         except Exception:
             pass
-    return LzxEncoder(window_bits, reset_interval, is_delta,
-                      max_chain).compress(data, ref_data=ref_data)
+    return LzxEncoder(window_bits, reset_interval, is_delta, max_chain,
+                      block_frames).compress(data, ref_data=ref_data)

@@ -355,23 +355,26 @@ def cab_mszip_pipeline(cab, data_offsets: list[int], nblocks: list[int],
 
 def lzx_encode(data: bytes, window_bits: int, reset_interval: int = 0,
                is_delta: bool = False, ref_data: bytes = b"",
-               max_chain: int = 64) -> tuple[bytes, list[int]] | None:
+               max_chain: int = 64,
+               block_frames: int = 32) -> tuple[bytes, list[int]] | None:
     """Entropy-encode one LZX stream (native port of compress/lzx_e).
 
     Returns (stream, per-frame byte offsets) or None on failure."""
+    import numpy as np
     L = lib()
     nframes = max(1, (len(data) + 32767) // 32768)
     cap = len(data) + 64 * nframes + 4096
-    out = ctypes.create_string_buffer(cap)
+    out = np.empty(cap, np.uint8)
     offs = (ctypes.c_uint64 * nframes)()
     r = L.msp_lzx_encode(
         data, ctypes.c_uint64(len(data)), window_bits, reset_interval,
         1 if is_delta else 0, ref_data or None,
-        ctypes.c_uint64(len(ref_data)), max_chain, out,
+        ctypes.c_uint64(len(ref_data)), max_chain, block_frames,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.c_uint64(cap), offs)
     if r < 0:
         return None
-    return out.raw[: int(r)], list(offs)
+    return out[: int(r)].tobytes(), list(offs)
 
 
 def qtm_decode_into(stream, stream_len: int, window_bits: int, out,

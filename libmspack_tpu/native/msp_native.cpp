@@ -1256,17 +1256,24 @@ static void write_lens(BitOut& w, const uint8_t* prev, const uint8_t* now,
 }
 
 // --------------------------------------------------------- matcher
+// Hash chains with a window-sized ring for the chain links: position
+// p's link lives at prev[p & (window-1)]. A slot is only overwritten
+// by p + window, and chains never follow distances >= window, so no
+// staleness check is needed. Memory is O(window), not O(input) —
+// essential for 2 GiB CAB folders. Positions are int32 (the CAB
+// format caps folders below 2^31; msp_lzx_encode rejects larger).
 struct Matcher {
   static constexpr int kHashBits = 17;
   const uint8_t* buf;
   size_t len;
   int max_chain;
-  std::vector<int64_t> head;
-  std::vector<int64_t> prev;
+  uint32_t mask;
+  std::vector<int32_t> head;
+  std::vector<int32_t> prev;
 
-  Matcher(const uint8_t* b, size_t n, int chain)
-      : buf(b), len(n), max_chain(chain),
-        head((size_t)1 << kHashBits, -1), prev(n, -1) {}
+  Matcher(const uint8_t* b, size_t n, int chain, uint32_t window)
+      : buf(b), len(n), max_chain(chain), mask(window - 1),
+        head((size_t)1 << kHashBits, -1), prev(window, -1) {}
 
   static inline uint32_t h3(const uint8_t* p) {
     return ((uint32_t)p[0] << 12 ^ (uint32_t)p[1] << 6 ^ (uint32_t)p[2]) &
@@ -1275,8 +1282,8 @@ struct Matcher {
   inline void insert(size_t pos) {
     if (pos + 2 >= len) return;
     uint32_t h = h3(buf + pos);
-    prev[pos] = head[h];
-    head[h] = (int64_t)pos;
+    prev[(uint32_t)pos & mask] = head[h];
+    head[h] = (int32_t)pos;
   }
 };
 
@@ -1361,6 +1368,8 @@ struct Encoder {
         int64_t cand = mt.head[Matcher::h3(b + pos)];
         int chain = max_chain;
         while (cand >= 0 && chain-- > 0) {
+          // ring slots older than one window are never followed:
+          // the dist checks below break first
           uint64_t dist = pos - (uint64_t)cand;
           if (!(dist <= pos - chunk_start && dist <= wlimit &&
                 dist + 2 <= max_formatted && dist_ok(dist, pos)))
@@ -1376,7 +1385,7 @@ struct Encoder {
               if (l >= cap) break;
             }
           }
-          cand = mt.prev[cand];
+          cand = mt.prev[(uint32_t)cand & mt.mask];
         }
         if (best_len < 3) best_len = 0;
       }
@@ -1401,104 +1410,16 @@ struct Encoder {
     }
   }
 
-  // returns true if an UNCOMPRESSED block was chosen (R state must be
-  // restored to R_before by the caller: the raw 12 bytes pin it there)
-  bool emit_block(BitOut& w, const std::vector<Token>& toks,
-                  uint32_t frame_len, uint8_t* prev_main, uint8_t* prev_len,
-                  const uint8_t* frame_data, const uint32_t* R_before,
-                  bool more_blocks) const {
-    int main_n = kNumChars + num_offsets;
-    std::vector<uint32_t> fmain(main_n, 0);
-    uint32_t flen[kSecondary] = {0};
-    uint32_t falign[8] = {0};
-    int64_t verb_extra = 0, align_extra = 0;
-    for (auto& t : toks) {
-      if (t.kind == 0) {
-        fmain[t.lit]++;
-        continue;
-      }
-      int slot;
-      if (t.kind == 1) {
-        slot = t.lit;
-      } else {
-        uint32_t fmt = t.dist + 2;
-        slot = slot_for(fmt);
-        int extra = kT.extra_bits[slot];
-        if (extra >= 3) {
-          falign[(fmt - kT.pos_base[slot]) & 7]++;
-          align_extra += extra - 3;
-        } else {
-          align_extra += extra;
-        }
-        verb_extra += extra;
-      }
-      uint32_t length = t.length;
-      uint32_t enc_len = length > 257 ? 257 : length;
-      int lh = (int)enc_len - 2;
-      if (lh > 7) lh = 7;
-      fmain[kNumChars + (slot << 3) + lh]++;
-      if (lh == 7) flen[enc_len - 9]++;
-      if (is_delta && length >= 257) {
-        uint32_t ex = length - 257;
-        int eb = ex < 0x100 ? 9 : ex < 0x500 ? 12 : ex < 0x1500 ? 15 : 18;
-        verb_extra += eb;
-        align_extra += eb;
-      }
-    }
-    std::vector<uint8_t> mlens(main_n), llens(kSecondary);
-    make_lengths(fmain.data(), main_n, 16, mlens.data());
-    make_lengths(flen, kSecondary, 16, llens.data());
+  struct FrameOut {
+    const std::vector<Token>* toks;
+    const uint8_t* data;
+    uint32_t len;
+  };
 
-    int64_t body = 0;
-    for (int s = 0; s < main_n; s++) body += (int64_t)mlens[s] * fmain[s];
-    for (int s = 0; s < kSecondary; s++) body += (int64_t)llens[s] * flen[s];
-    int64_t tree_cost = lens_cost(prev_main, mlens.data(), 0, 256) +
-                        lens_cost(prev_main, mlens.data(), 256, main_n) +
-                        lens_cost(prev_len, llens.data(), 0, kSecondary);
-    uint8_t alens[8];
-    make_lengths(falign, 8, 7, alens);
-    bool any_a = false;
-    for (int i = 0; i < 8; i++) any_a |= alens[i] != 0;
-    if (!any_a)
-      for (int i = 0; i < 8; i++) alens[i] = 3;  // decoder builds it anyway
-    int64_t acost = 0;
-    for (int s = 0; s < 8; s++) acost += (int64_t)alens[s] * falign[s];
-    int64_t verb_bits = 3 + 24 + tree_cost + body + verb_extra;
-    int64_t alig_bits = 3 + 24 + 24 + tree_cost + body + align_extra + acost;
-    int64_t unc_bits = 3 + 24 + 16 + 8ll * (12 + frame_len + (frame_len & 1));
-
-    if (unc_bits < verb_bits && unc_bits < alig_bits) {
-      w.put(3, 3);
-      w.put(frame_len, 24);
-      w.align16();
-      uint8_t rb[12];
-      for (int i = 0; i < 3; i++)
-        for (int j = 0; j < 4; j++) rb[i * 4 + j] = (R_before[i] >> (8 * j)) & 0xFF;
-      w.bytes(rb, 12);
-      w.bytes(frame_data, frame_len);
-      if ((frame_len & 1) && more_blocks) {
-        uint8_t z = 0;
-        w.bytes(&z, 1);
-      }
-      return true;
-    }
-
-    bool aligned = alig_bits < verb_bits;
-    w.put(aligned ? 2 : 1, 3);
-    w.put(frame_len, 24);
-    uint16_t acodes[8];
-    canonical_codes(alens, 8, acodes);
-    if (aligned)
-      for (int i = 0; i < 8; i++) w.put(alens[i], 3);
-    write_lens(w, prev_main, mlens.data(), 0, 256);
-    write_lens(w, prev_main, mlens.data(), 256, main_n);
-    write_lens(w, prev_len, llens.data(), 0, kSecondary);
-    memcpy(prev_main, mlens.data(), main_n);
-    memcpy(prev_len, llens.data(), kSecondary);
-    std::vector<uint16_t> mcodes(main_n), lcodes(kSecondary);
-    canonical_codes(mlens.data(), main_n, mcodes.data());
-    canonical_codes(llens.data(), kSecondary, lcodes.data());
-
+  void emit_tokens(BitOut& w, const std::vector<Token>& toks, bool aligned,
+                   const uint16_t* mcodes, const uint8_t* mlens,
+                   const uint16_t* lcodes, const uint8_t* llens,
+                   const uint16_t* acodes, const uint8_t* alens) const {
     for (auto& t : toks) {
       if (t.kind == 0) {
         w.put(mcodes[t.lit], mlens[t.lit]);
@@ -1549,13 +1470,163 @@ struct Encoder {
         }
       }
     }
+  }
+
+  // Emit ONE block covering `frames` (trees amortise across the whole
+  // block); handles per-frame offsets, DELTA chunk fields and 16-bit
+  // frame realigns. Returns true if an UNCOMPRESSED block was chosen
+  // (caller restores the R snapshot: the raw 12 bytes pin it there).
+  bool emit_block_group(BitOut& w, const std::vector<FrameOut>& frames,
+                        uint8_t* prev_main, uint8_t* prev_len,
+                        const uint32_t* R_before, bool more_blocks,
+                        std::vector<uint64_t>& offs,
+                        bool first_of_chunk) const {
+    int main_n = kNumChars + num_offsets;
+    std::vector<uint32_t> fmain(main_n, 0);
+    uint32_t flen[kSecondary] = {0};
+    uint32_t falign[8] = {0};
+    int64_t verb_extra = 0, align_extra = 0;
+    uint32_t block_len = 0;
+    for (auto& fo : frames) {
+      block_len += fo.len;
+      for (auto& t : *fo.toks) {
+        if (t.kind == 0) {
+          fmain[t.lit]++;
+          continue;
+        }
+        int slot;
+        if (t.kind == 1) {
+          slot = t.lit;
+        } else {
+          uint32_t fmt = t.dist + 2;
+          slot = slot_for(fmt);
+          int extra = kT.extra_bits[slot];
+          if (extra >= 3) {
+            falign[(fmt - kT.pos_base[slot]) & 7]++;
+            align_extra += extra - 3;
+          } else {
+            align_extra += extra;
+          }
+          verb_extra += extra;
+        }
+        uint32_t length = t.length;
+        uint32_t enc_len = length > 257 ? 257 : length;
+        int lh = (int)enc_len - 2;
+        if (lh > 7) lh = 7;
+        fmain[kNumChars + (slot << 3) + lh]++;
+        if (lh == 7) flen[enc_len - 9]++;
+        if (is_delta && length >= 257) {
+          uint32_t ex = length - 257;
+          int eb = ex < 0x100 ? 9 : ex < 0x500 ? 12 : ex < 0x1500 ? 15 : 18;
+          verb_extra += eb;
+          align_extra += eb;
+        }
+      }
+    }
+    std::vector<uint8_t> mlens(main_n), llens(kSecondary);
+    make_lengths(fmain.data(), main_n, 16, mlens.data());
+    make_lengths(flen, kSecondary, 16, llens.data());
+    int64_t body = 0;
+    for (int sy = 0; sy < main_n; sy++) body += (int64_t)mlens[sy] * fmain[sy];
+    for (int sy = 0; sy < kSecondary; sy++)
+      body += (int64_t)llens[sy] * flen[sy];
+    int64_t tree_cost = lens_cost(prev_main, mlens.data(), 0, 256) +
+                        lens_cost(prev_main, mlens.data(), 256, main_n) +
+                        lens_cost(prev_len, llens.data(), 0, kSecondary);
+    uint8_t alens[8];
+    make_lengths(falign, 8, 7, alens);
+    bool any_a = false;
+    for (int k = 0; k < 8; k++) any_a |= alens[k] != 0;
+    if (!any_a)
+      for (int k = 0; k < 8; k++) alens[k] = 3;
+    int64_t acost = 0;
+    for (int sy = 0; sy < 8; sy++) acost += (int64_t)alens[sy] * falign[sy];
+    int64_t verb_bits = 3 + 24 + tree_cost + body + verb_extra;
+    int64_t alig_bits = 3 + 24 + 24 + tree_cost + body + align_extra + acost;
+    int64_t unc_bits = 3 + 24 + 16 + 8ll * (12 + block_len + (block_len & 1));
+    bool stored = unc_bits < verb_bits && unc_bits < alig_bits;
+
+    auto frame_prologue = [&](bool first_frame) -> size_t {
+      offs.push_back(w.out.size());
+      size_t patch = SIZE_MAX;
+      if (is_delta) {
+        patch = w.out.size();
+        w.put(0, 16);
+      }
+      if (first_frame && first_of_chunk) w.put(0, 1);
+      return patch;
+    };
+    auto frame_epilogue = [&](size_t patch) {
+      if (w.cnt) w.align16();
+      if (patch != SIZE_MAX) {
+        size_t chunk = w.out.size() - patch - 2;
+        w.out[patch] = (uint8_t)(chunk & 0xFF);
+        w.out[patch + 1] = (uint8_t)((chunk >> 8) & 0xFF);
+      }
+    };
+
+    if (stored) {
+      bool first = true;
+      for (auto& fo : frames) {
+        size_t patch = frame_prologue(first);
+        if (first) {
+          w.put(3, 3);
+          w.put(block_len, 24);
+          w.align16();
+          uint8_t rb[12];
+          for (int k = 0; k < 3; k++)
+            for (int j = 0; j < 4; j++)
+              rb[k * 4 + j] = (R_before[k] >> (8 * j)) & 0xFF;
+          w.bytes(rb, 12);
+          first = false;
+        }
+        w.bytes(fo.data, fo.len);
+        frame_epilogue(patch);
+      }
+      if ((block_len & 1) && more_blocks) {
+        uint8_t z = 0;
+        w.bytes(&z, 1);
+      }
+      return true;
+    }
+
+    bool aligned = alig_bits < verb_bits;
+    uint16_t acodes[8];
+    canonical_codes(alens, 8, acodes);
+    std::vector<uint16_t> mcodes(main_n), lcodes(kSecondary);
+    bool first = true;
+    for (auto& fo : frames) {
+      size_t patch = frame_prologue(first);
+      if (first) {
+        w.put(aligned ? 2 : 1, 3);
+        w.put(block_len, 24);
+        if (aligned)
+          for (int k = 0; k < 8; k++) w.put(alens[k], 3);
+        write_lens(w, prev_main, mlens.data(), 0, 256);
+        write_lens(w, prev_main, mlens.data(), 256, main_n);
+        write_lens(w, prev_len, llens.data(), 0, kSecondary);
+        memcpy(prev_main, mlens.data(), main_n);
+        memcpy(prev_len, llens.data(), kSecondary);
+        canonical_codes(mlens.data(), main_n, mcodes.data());
+        canonical_codes(llens.data(), kSecondary, lcodes.data());
+        first = false;
+      }
+      emit_tokens(w, *fo.toks, aligned, mcodes.data(), mlens.data(),
+                  lcodes.data(), llens.data(), acodes, alens);
+      frame_epilogue(patch);
+    }
+    if (w.out.size() & 1) {
+      uint8_t z = 0;
+      w.bytes(&z, 1);
+    }
     return false;
   }
 
   // full stream; returns frame offsets through `offs`
   std::vector<uint8_t> compress(const uint8_t* data, size_t len,
                                 const uint8_t* ref, size_t ref_len,
-                                std::vector<uint64_t>& offs) {
+                                std::vector<uint64_t>& offs,
+                                int block_frames) {
     std::vector<uint8_t> holder;
     if (ref_len) {
       holder.resize(ref_len + len);
@@ -1567,76 +1638,79 @@ struct Encoder {
     }
     origin = ref_len;
     total = ref_len + len;
-    Matcher mt(buf, total, max_chain);
+    Matcher mt(buf, total, max_chain, window_size);
     for (size_t p = 0; p < origin; p++) mt.insert(p);
 
     BitOut w;
-    size_t nframes = len ? (len + kFrame - 1) / kFrame : 1;
     int main_n = kNumChars + num_offsets;
     std::vector<uint8_t> prev_main(main_n, 0), prev_len(kSecondary, 0);
     uint32_t R[3] = {1, 1, 1};
-    size_t chunk_start = 0;
-    std::vector<Token> toks;
 
-    for (size_t i = 0; i < nframes; i++) {
-      size_t fstart = i * kFrame;
-      size_t fend = fstart + kFrame < len ? fstart + kFrame : len;
-      offs.push_back(w.out.size());
-      bool reset =
-          i == 0 || (reset_interval && (i % (size_t)reset_interval) == 0);
-      if (reset) {
+    if (len == 0) {  // zero-length stream: one empty uncompressed block
+      if (is_delta) w.put(0, 16);
+      offs.push_back(0);
+      w.put(0, 1);
+      w.put(3, 3);
+      w.put(0, 24);
+      w.align16();
+      uint8_t rb[12];
+      for (int k = 0; k < 3; k++)
+        for (int j = 0; j < 4; j++) rb[k * 4 + j] = (R[k] >> (8 * j)) & 0xFF;
+      w.bytes(rb, 12);
+      return std::move(w.out);
+    }
+
+    size_t nframes = (len + kFrame - 1) / kFrame;
+    if (block_frames < 1) block_frames = 1;
+    size_t chunk_start = 0;
+    bool first_of_chunk = false;
+    std::vector<std::vector<Token>> toks_pool;
+    size_t i = 0;
+    while (i < nframes) {
+      if (i == 0 || (reset_interval && (i % (size_t)reset_interval) == 0)) {
         std::fill(prev_main.begin(), prev_main.end(), 0);
         std::fill(prev_len.begin(), prev_len.end(), 0);
         R[0] = R[1] = R[2] = 1;
-        chunk_start = fstart;
+        chunk_start = i * kFrame;
+        first_of_chunk = true;
       }
-      size_t delta_patch = SIZE_MAX;
-      if (is_delta) {
-        delta_patch = w.out.size();
-        w.put(0, 16);  // chunk size, backpatched
-      }
-      if (reset) w.put(0, 1);  // no intel E8 filesize
-
-      if (fend == fstart) {  // zero-length stream
-        w.put(3, 3);
-        w.put(0, 24);
-        w.align16();
-        uint8_t rb[12];
-        for (int k = 0; k < 3; k++)
-          for (int j = 0; j < 4; j++) rb[k * 4 + j] = (R[k] >> (8 * j)) & 0xFF;
-        w.bytes(rb, 12);
-        continue;
-      }
+      size_t chunk_end = reset_interval
+                             ? std::min(nframes, (i / (size_t)reset_interval + 1) *
+                                                     (size_t)reset_interval)
+                             : nframes;
+      size_t bend = std::min(i + (size_t)block_frames, chunk_end);
 
       uint32_t R_snapshot[3] = {R[0], R[1], R[2]};
       size_t cstart = chunk_start ? origin + chunk_start : 0;
-      toks.clear();
-      tokenize_frame(mt, origin + fstart, origin + fend, cstart, R, toks);
-      bool stored = emit_block(w, toks, (uint32_t)(fend - fstart),
-                               prev_main.data(), prev_len.data(),
-                               data + fstart, R_snapshot, i + 1 < nframes);
+      size_t nblk = bend - i;
+      if (toks_pool.size() < nblk) toks_pool.resize(nblk);
+      std::vector<FrameOut> frames;
+      frames.reserve(nblk);
+      for (size_t k = 0; k < nblk; k++) {
+        size_t fstart = (i + k) * kFrame;
+        size_t fend = std::min(fstart + (size_t)kFrame, len);
+        toks_pool[k].clear();
+        tokenize_frame(mt, origin + fstart, origin + fend, cstart, R,
+                       toks_pool[k]);
+        frames.push_back(
+            {&toks_pool[k], data + fstart, (uint32_t)(fend - fstart)});
+      }
+      bool stored = emit_block_group(w, frames, prev_main.data(),
+                                     prev_len.data(), R_snapshot,
+                                     bend < nframes, offs, first_of_chunk);
       if (stored) {
         R[0] = R_snapshot[0];
         R[1] = R_snapshot[1];
         R[2] = R_snapshot[2];
       }
-
-      if (w.cnt) w.align16();
-      if (w.out.size() & 1) {
-        uint8_t z = 0;
-        w.bytes(&z, 1);
-      }
-      if (delta_patch != SIZE_MAX) {
-        size_t chunk = w.out.size() - delta_patch - 2;
-        w.out[delta_patch] = (uint8_t)(chunk & 0xFF);
-        w.out[delta_patch + 1] = (uint8_t)((chunk >> 8) & 0xFF);
-      }
+      first_of_chunk = false;
+      i = bend;
     }
     return std::move(w.out);
   }
 };
 
-}  // namespace lzxe
+}  // namespace lzxe}  // namespace lzxe
 
 extern "C" {
 
@@ -1871,14 +1945,17 @@ int msp_qtm_decode(const uint8_t* stream, uint64_t stream_len,
 // count). Returns the stream length, or -1 if out_cap is too small.
 int64_t msp_lzx_encode(const uint8_t* data, uint64_t len, int window_bits,
                        int reset_interval, int is_delta, const uint8_t* ref,
-                       uint64_t ref_len, int max_chain, uint8_t* out,
-                       uint64_t out_cap, uint64_t* frame_offs) {
+                       uint64_t ref_len, int max_chain, int block_frames,
+                       uint8_t* out, uint64_t out_cap,
+                       uint64_t* frame_offs) {
   int lo = is_delta ? 17 : 15, hi = is_delta ? 25 : 21;
   if (window_bits < lo || window_bits > hi) return -2;
+  if (len + ref_len >= (1ull << 31)) return -3;  // int32 match positions
   lzxe::Encoder enc(window_bits, reset_interval, is_delta != 0,
                     max_chain > 0 ? max_chain : 64);
   std::vector<uint64_t> offs;
-  std::vector<uint8_t> stream = enc.compress(data, len, ref, ref_len, offs);
+  std::vector<uint8_t> stream =
+      enc.compress(data, len, ref, ref_len, offs, block_frames);
   if (stream.size() > out_cap) return -1;
   memcpy(out, stream.data(), stream.size());
   for (size_t i = 0; i < offs.size(); i++) frame_offs[i] = offs[i];
@@ -1903,7 +1980,7 @@ int msp_lzx_encode_many(const uint8_t* const* datas, const uint64_t* lens,
       if (i >= n_streams) break;
       int64_t r = msp_lzx_encode(datas[i], lens[i], window_bits[i],
                                  reset_interval, is_delta, nullptr, 0,
-                                 max_chain, outs[i], out_caps[i],
+                                 max_chain, 32, outs[i], out_caps[i],
                                  frame_offs[i]);
       out_lens[i] = r;
       if (r < 0) {

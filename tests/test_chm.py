@@ -103,3 +103,51 @@ def test_parallel_reset_chunk_decode():
         outs[eng] = s.getvalue()
     assert outs["scalar"] == big
     assert outs["native"] == big
+
+
+def test_chm_extraction_orders():
+    """The reference's chmd_order.c discipline: extract every file in
+    listed order, content order, reverse order, and interleaved across
+    two decompressor instances — identical bytes each way."""
+    import random
+    import libmspack_tpu as m
+    from libmspack_tpu.compress import chm_c
+    from libmspack_tpu.system import BytesSink
+    rng = random.Random(11)
+    files = [(f"d/f{i}.txt",
+              bytes(rng.choices(b"abcdef ", k=rng.randint(2000, 90000))))
+             for i in range(6)]
+    chm = chm_c.write_chm(files, window_bits=16, reset_frames=2)
+    exp = dict(files)
+
+    def get(d, h, f):
+        s = BytesSink()
+        d.extract(f, s)
+        return s.getvalue()
+
+    for eng in ("scalar", "native"):
+        d = m.create_chm_decompressor(engine=eng)
+        h = d.open(chm)
+        members = [f for f in h.files if f.filename.startswith("d/")]
+        listed = [get(d, h, f) for f in members]
+        by_offset = sorted(members, key=lambda f: f.offset)
+        d2 = m.create_chm_decompressor(engine=eng)
+        h2 = d2.open(chm)
+        offset_order = {f.filename: get(d2, h2, f) for f in by_offset}
+        d3 = m.create_chm_decompressor(engine=eng)
+        h3 = d3.open(chm)
+        reverse = {f.filename: get(d3, h3, f) for f in reversed(members)}
+        # interleaved across two instances
+        da = m.create_chm_decompressor(engine=eng)
+        db = m.create_chm_decompressor(engine=eng)
+        ha, hb = da.open(chm), db.open(chm)
+        inter = {}
+        for fa, fb in zip(ha.files, hb.files):
+            if fa.filename.startswith("d/"):
+                inter[fa.filename] = get(da, ha, fa)
+                assert get(db, hb, fb) == inter[fb.filename]
+        for f, data in zip(members, listed):
+            assert data == exp[f.filename], (eng, f.filename)
+            assert offset_order[f.filename] == data
+            assert reverse[f.filename] == data
+            assert inter[f.filename] == data
