@@ -171,9 +171,14 @@ class LzxDecompressor:
             elif z == 19:
                 y = bits.read(1) + 4
                 z = pretree.decode(bits)
+                # z may be 17..19 on malformed streams: a single +17
+                # wrap then an unsigned-char store, exactly like the
+                # reference (lzxd.c lens[] is unsigned char; values
+                # > 16 are then ignored by make_decode_table)
                 z = lens[x] - z
                 if z < 0:
                     z += 17
+                z &= 0xFF
                 for _ in range(y):
                     lens[x] = z
                     x += 1
@@ -181,7 +186,7 @@ class LzxDecompressor:
                 z = lens[x] - z
                 if z < 0:
                     z += 17
-                lens[x] = z
+                lens[x] = z & 0xFF
                 x += 1
 
     def _build_trees(self, aligned: bool) -> None:

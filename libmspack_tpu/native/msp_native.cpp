@@ -430,7 +430,11 @@ struct HuffM {
   bool build(const uint8_t* lens, int nsyms) {
     tab.assign(1u << kRoot, 0xFFFFFFFFu);
     int count[17] = {0};
-    for (int s = 0; s < nsyms; s++) count[lens[s]]++;
+    // lengths outside 1..16 are treated as absent, exactly like
+    // make_decode_table (readhuff.h loops bit_num 1..16): malformed
+    // streams can leave e.g. 254 via the run-19 negative wrap
+    for (int s = 0; s < nsyms; s++)
+      if (lens[s] <= 16) count[lens[s]]++;
     count[0] = 0;
     int64_t kraft = 0;
     uint32_t next_code[18] = {0};
@@ -444,7 +448,7 @@ struct HuffM {
     bool any = false;
     for (int s = 0; s < nsyms; s++) {
       int L = lens[s];
-      if (!L) continue;
+      if (!L || L > 16) continue;
       any = true;
       uint32_t c = next_code[L]++;
       if (L <= kRoot) {
@@ -675,7 +679,11 @@ struct Decoder {
             }
             if (offset > window_size) return 43;
             int64_t src = pos - (int64_t)offset;
-            if (pos + match_len > todo + kFrame) return 44;
+            // matches may overrun the block run (handled below) but can
+            // NEVER cross the frame boundary (lzxd.c frame-size check);
+            // frame_end <= todo <= out_cap, so this also fences the
+            // output buffer against malformed streams
+            if (pos + match_len > frame_end) return 44;
             if (src < 0) {
               // LZX DELTA reference data at the window tail
               int64_t need = -src;
@@ -955,7 +963,9 @@ struct Decoder {
         // off > pos would read pre-history (uninitialised in the
         // reference) -> reject to scalar path.
         if (match_off > window_size || (int64_t)match_off > pos) return 72;
-        if (pos + match_len > out_len + kFrame) return 73;
+        // fences the output buffer (sized out_len) against malformed
+        // streams; valid folders never need to write past their size
+        if ((int64_t)(pos + match_len) > out_len) return 73;
         const uint8_t* sp = out + pos - match_off;
         uint8_t* dst = out + pos;
         if (match_off >= match_len) {
