@@ -2,8 +2,9 @@
 
 The reference's CAB compressor is a stub (reference: cabc.c:15-24);
 this writer exceeds reference capability. Supported folder codecs:
-NONE, MSZIP (zlib-deflated frames), LZX (entropy-coded via lzx_e;
-"lzx_stored" selects the uncompressed-block encoder).
+NONE, MSZIP (zlib-deflated frames), QUANTUM (adaptive arithmetic via
+qtm_e), LZX (entropy-coded via lzx_e; "lzx_stored" selects the
+uncompressed-block encoder).
 
 Layout (reference: cab.h:15-45 structure offsets):
 CFHEADER + CFFOLDERs + CFFILEs + per-folder CFDATA block chains, with
@@ -11,8 +12,8 @@ the standard per-block XOR checksum.
 """
 from __future__ import annotations
 
-from ..formats.cab import _checksum
-from . import lzx_c, lzx_e, mszip_c
+from ..formats.cab import INPUTMAX, _checksum
+from . import lzx_c, lzx_e, mszip_c, qtm_e
 
 BLOCKMAX = 32768
 
@@ -44,6 +45,18 @@ def _encode_folder_blocks(spec: FolderSpec) -> tuple[int, list[tuple[bytes, int]
         comp_type = 1
         payloads = mszip_c.compress_frames(data)
         for i, p in enumerate(payloads):
+            uncomp = min(BLOCKMAX, len(data) - i * BLOCKMAX)
+            blocks.append((p, uncomp))
+    elif spec.compression == "quantum":
+        # one frame per CFDATA block; the reader injects the 0xFF
+        # realign trailer after each block (reference: cabd.c:1327-1332)
+        wb = max(10, min(spec.window_bits, 21))
+        comp_type = 2 | (wb << 8)
+        payloads = qtm_e.compress(data, wb)
+        for i, p in enumerate(payloads):
+            if len(p) > INPUTMAX:
+                raise ValueError("Quantum block exceeds CAB input limit; "
+                                 "use MSZIP/LZX for this data")
             uncomp = min(BLOCKMAX, len(data) - i * BLOCKMAX)
             blocks.append((p, uncomp))
     elif spec.compression in ("lzx", "lzx_stored"):

@@ -39,7 +39,7 @@ def _write_tmp(data: bytes) -> str:
     return path
 
 
-@pytest.mark.parametrize("compression", ["none", "mszip", "lzx"])
+@pytest.mark.parametrize("compression", ["none", "mszip", "quantum", "lzx"])
 def test_cab_writer_roundtrip(compression):
     files = [(name, data) for name, data in corpora() if data]
     cab_bytes = cab_c.write_cab(files=files, compression=compression)
@@ -54,6 +54,35 @@ def test_cab_writer_roundtrip(compression):
         cab = d.open(cab_bytes)
         assert [f.filename for f in cab.files] == [n for n, _ in files]
         for f, (_, data) in zip(cab.files, files):
+            s = BytesSink()
+            d.extract(f, s)
+            assert s.getvalue() == data, f.filename
+    finally:
+        os.unlink(path)
+
+
+def test_qtm_encoder_stress():
+    """Quantum encoder edge grid: window smaller than a frame (decoder
+    wrap-copy path), exact frame boundaries, adaptive-model rescale on
+    high-entropy data, long matches capped at 259."""
+    rng = random.Random(7)
+    cases = [
+        (b"The quick brown fox. " * 4000, 10),     # 1 KiB window << frame
+        (b"x" * 32768, 15),                        # exactly one frame
+        (bytes(rng.randrange(256) for _ in range(65536)), 15),
+        (b"ab" * 40000, 12),                       # max-length matches
+    ]
+    folders = [cab_c.FolderSpec([(f"f{i}", data)], "quantum", wb)
+               for i, (data, wb) in enumerate(cases)]
+    cab_bytes = cab_c.write_cab(folders=folders)
+    path = _write_tmp(cab_bytes)
+    try:
+        ref_err, ref_outs = oracle.cab_extract_all(path)
+        assert ref_err == 0
+        assert ref_outs == [d for d, _ in cases]
+        d = CabDecompressor()
+        cab = d.open(cab_bytes)
+        for f, (data, _) in zip(cab.files, cases):
             s = BytesSink()
             d.extract(f, s)
             assert s.getvalue() == data, f.filename
