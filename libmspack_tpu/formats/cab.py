@@ -630,6 +630,21 @@ class CabDecompressor:
                     if sink is not output and hasattr(sink, "close"):
                         sink.close()
 
+        if (self.engine == "jax" and not self.salvage
+                and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_LZX):
+            folder_bytes = self._folder_bytes_lzx_device(fol)
+            if folder_bytes is not None:
+                sink = output if isinstance(output, Sink) else FileSink(output)
+                try:
+                    if file.offset + filelen > len(folder_bytes):
+                        raise DecrunchError("file beyond decoded folder")
+                    sink.write(folder_bytes[file.offset :
+                                            file.offset + filelen])
+                    return
+                finally:
+                    if sink is not output and hasattr(sink, "close"):
+                        sink.close()
+
         if (self.engine in ("jax", "native")
                 and not self.salvage and not self.fix_mszip
                 and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_MSZIP):
@@ -803,6 +818,27 @@ class CabDecompressor:
             if not ok:
                 return None
         except Exception:
+            return None
+        self._folder_cache = (fol, out)
+        return out
+
+    def _folder_bytes_lzx_device(self, fol: CabFolder) -> bytes | None:
+        """Whole-folder LZX decode on device (ops/lzx_jax). CAB LZX
+        never resets (reference: cabd.c:1249-1250), so the folder is one
+        fresh LZX stream with the output length known up front."""
+        if self._folder_cache is not None and self._folder_cache[0] is fol:
+            return self._folder_cache[1]
+        collected = self.collect_raw_blocks(fol)
+        if collected is None:
+            return None
+        blocks, sizes = collected
+        try:
+            from ..ops.lzx_jax import lzx_stream_decode
+        except Exception:
+            return None
+        out = lzx_stream_decode(b"".join(blocks),
+                                (fol.comp_type >> 8) & 0x1F, sum(sizes))
+        if out is None:
             return None
         self._folder_cache = (fol, out)
         return out

@@ -540,8 +540,9 @@ class ChmDecompressor:
 
     def _extract_sec1(self, d: _DecompState, file: ChmFile, sink) -> None:
         chm = d.chm
-        if self.engine == "native":
-            blob = self._sec1_bytes_native(d)
+        if self.engine in ("native", "jax"):
+            blob = (self._sec1_bytes_native(d) if self.engine == "native"
+                    else self._sec1_bytes_device(d))
             if blob is not None:
                 if file.offset + file.length > len(blob):
                     raise DecrunchError("file beyond decoded section")
@@ -585,6 +586,82 @@ class ChmDecompressor:
         finally:
             d.inoffset = d.insrc.tell()
 
+    def _sec1_plan(self, d: _DecompState):
+        """Shared decode plan for the whole-section fast paths: returns
+        (stream, window_bits, reset_interval, reset_offsets, length) or
+        None when the scalar path is needed."""
+        chm = d.chm
+        sec = chm.sec1
+        if sec.content is None:
+            sec.content = self.fast_find(chm, CONTENT_NAME)
+        if sec.control is None:
+            sec.control = self.fast_find(chm, CONTROL_NAME)
+        if (sec.content is None or sec.control is None
+                or sec.control.length != 0x1C):
+            return None
+        data = self._read_sys_file(d, sec.control)
+        if data[4:8] != b"LZXC":
+            return None
+        version = int.from_bytes(data[8:12], "little")
+        mult = FRAME_SIZE if version == 2 else 1
+        if version not in (1, 2):
+            return None
+        reset_interval = int.from_bytes(data[0x0C:0x10], "little") * mult
+        window_size = int.from_bytes(data[0x10:0x14], "little") * mult
+        window_bits = {0x8000: 15, 0x10000: 16, 0x20000: 17,
+                       0x40000: 18, 0x80000: 19, 0x100000: 20,
+                       0x200000: 21}.get(window_size)
+        if window_bits is None or reset_interval == 0                 or reset_interval % FRAME_SIZE:
+            return None
+        res = self._read_reset_table(d, sec, 0)
+        reset_offsets = None
+        if res is not None:
+            length, _ = res
+            length += reset_interval - 1
+            length &= -reset_interval
+            reset_offsets = self._read_reset_offsets(
+                d, sec, reset_interval // FRAME_SIZE,
+                (length + reset_interval - 1) // reset_interval)
+        else:
+            length = self._read_spaninfo(d, sec)
+        d.insrc.seek(chm.sec0.offset + sec.content.offset)
+        stream = d.insrc.read(sec.content.length)
+        return stream, window_bits, reset_interval, reset_offsets, length
+
+    def _sec1_bytes_device(self, d: _DecompState) -> bytes | None:
+        """Whole-section decode on device (ops/lzx_jax): the ResetTable
+        offsets shard the stream into independent LZX chunks, each a
+        fresh stream (chmd.c:1172-1183 re-inits at reset points)."""
+        chm = d.chm
+        if self._sec1_cache is not None and self._sec1_cache[0] is chm:
+            return self._sec1_cache[1]
+        try:
+            from ..ops.lzx_jax import lzx_stream_decode
+            plan = self._sec1_plan(d)
+            if plan is None:
+                return None
+            stream, window_bits, reset_interval, reset_offsets, length = plan
+            if not reset_offsets:
+                reset_offsets = [0]
+            parts = []
+            for i, off in enumerate(reset_offsets):
+                end = (reset_offsets[i + 1] if i + 1 < len(reset_offsets)
+                       else len(stream))
+                size = min(reset_interval, length - i * reset_interval)
+                if size <= 0:
+                    break
+                part = lzx_stream_decode(stream[off:end], window_bits, size)
+                if part is None:
+                    return None
+                parts.append(part)
+            out = b"".join(parts)
+            if len(out) != length:
+                return None
+            self._sec1_cache = (chm, out)
+            return out
+        except MSPackError:
+            return None
+
     def _sec1_bytes_native(self, d: _DecompState) -> bytes | None:
         """Decode the whole MSCompressed section once with the native
         LZX engine and cache it; None falls back to the scalar path."""
@@ -593,41 +670,10 @@ class ChmDecompressor:
             return self._sec1_cache[1]
         try:
             from .. import native
-            sec = chm.sec1
-            if sec.content is None:
-                sec.content = self.fast_find(chm, CONTENT_NAME)
-            if sec.control is None:
-                sec.control = self.fast_find(chm, CONTROL_NAME)
-            if (sec.content is None or sec.control is None
-                    or sec.control.length != 0x1C):
+            plan = self._sec1_plan(d)
+            if plan is None:
                 return None
-            data = self._read_sys_file(d, sec.control)
-            if data[4:8] != b"LZXC":
-                return None
-            version = int.from_bytes(data[8:12], "little")
-            mult = FRAME_SIZE if version == 2 else 1
-            if version not in (1, 2):
-                return None
-            reset_interval = int.from_bytes(data[0x0C:0x10], "little") * mult
-            window_size = int.from_bytes(data[0x10:0x14], "little") * mult
-            window_bits = {0x8000: 15, 0x10000: 16, 0x20000: 17,
-                           0x40000: 18, 0x80000: 19, 0x100000: 20,
-                           0x200000: 21}.get(window_size)
-            if window_bits is None or reset_interval == 0                     or reset_interval % FRAME_SIZE:
-                return None
-            res = self._read_reset_table(d, sec, 0)
-            reset_offsets = None
-            if res is not None:
-                length, _ = res
-                length += reset_interval - 1
-                length &= -reset_interval
-                reset_offsets = self._read_reset_offsets(
-                    d, sec, reset_interval // FRAME_SIZE,
-                    (length + reset_interval - 1) // reset_interval)
-            else:
-                length = self._read_spaninfo(d, sec)
-            d.insrc.seek(chm.sec0.offset + sec.content.offset)
-            stream = d.insrc.read(sec.content.length)
+            stream, window_bits, reset_interval, reset_offsets, length = plan
             if self._scratch_out is None:
                 self._scratch_out = native.Scratch()
             out = self._scratch_out.get(max(length, 1))[:length]

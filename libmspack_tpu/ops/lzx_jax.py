@@ -1,0 +1,597 @@
+"""Device LZX decode — the TPU pipeline for LZX streams.
+
+Mirrors the fused MSZIP design (ops/inflate_fused.py) for LZX's harder
+structure (reference: lzxd.c):
+
+* Host walks block headers only (3-bit type + 24-bit length + pretree
+  delta-coded tree lengths, lzxd.c:138-183 / :476-522) — KB-sized,
+  branchy, sequential; everything byte-volume runs on device.
+* Per VERBATIM/ALIGNED block, ONE jitted device call:
+  1. canonical 2^16 MSB LUT build for main/length trees (+2^7 aligned);
+  2. speculative symbol decode at EVERY bit position of the stream
+     slice (main sym -> literal / match length header -> length tree ->
+     position slot extra bits, with the aligned low-3 path);
+  3. jump/output-sum pointer-doubling levels;
+  4. a frame walk that follows the token chain from the block's first
+     symbol, applying the 16-bit realign at every 32 KiB frame boundary
+     (lzxd.c frame epilogue; matches may overrun a frame but never a
+     block) and returning each frame-segment's start position + token
+     count + the block's end bit position (which the host needs to
+     parse the next header — block extents are only discoverable by
+     decoding, SURVEY.md hard part 1);
+  5. per-segment token extraction by rank jumping.
+* Phase B over the whole stream: R0/R1/R2 repeated-offset LRU resolved
+  as an associative scan over substitution maps (each token either
+  permutes (R0,R1,R2) or inserts a constant — composition is
+  associative, so the sequential LRU of lzxd.c:565-585 parallelizes),
+  then the shared pointer-doubling match resolve (ops/match_resolve).
+* E8 call-translation per frame via ops/e8.py (tail frame on host).
+
+UNCOMPRESSED blocks are handled on host (their extent is known without
+entropy decode): raw bytes land in the base output buffer and a pseudo
+token resets (R0,R1,R2) to the stored values (lzxd.c:303-320).
+
+Not covered (falls back to scalar/native): LZX DELTA, window bits
+outside 15..21, blocks spanning more than F_BUCKETS[-1] frames, streams
+larger than the slice buckets. CHM reset-interval chunks — the natural
+shard grid — are exactly one-or-few blocks and fit the fast path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.lzx import (EXTRA_BITS, POSITION_BASE, POSITION_SLOTS,
+                          _e8_transform)
+from .inflate_jax import NeedFallback
+from .match_resolve import resolve, tokens_to_ptr
+
+FRAME_SIZE = 32768
+R_TOK = FRAME_SIZE            # max tokens per frame segment (1 byte/token)
+N_DOUBLINGS = 15              # 2^15 = R_TOK
+MAINSYMS = 256 + (POSITION_SLOTS[21 - 15] << 3)   # 656, window <= 2^21
+LENSYMS = 250
+NUM_SECONDARY = 249
+
+_EXTRA_TBL = np.zeros(64, np.int32)
+_BASE_TBL = np.zeros(64, np.int32)
+for _s in range(min(64, len(POSITION_BASE))):
+    _EXTRA_TBL[_s] = 17 if _s >= 36 else EXTRA_BITS[_s]
+    _BASE_TBL[_s] = POSITION_BASE[_s] - 2
+
+# (F_MAX frames per block, slice bytes) buckets; a block spanning more
+# frames or a longer slice falls back to the scalar/native engines.
+BUCKETS = ((4, 1 << 16), (4, 1 << 18), (16, 1 << 21), (64, 1 << 23))
+
+
+# ----------------------------------------------------------------------
+# Host-side bit reader + header walker (MSB over 16-bit LE units)
+
+
+class _MsbBits:
+    """Position-based MSB bit reader over 16-bit little-endian units.
+
+    The unit grid is absolute (byte pairs 2u,2u+1): the format keeps all
+    bit reads 16-bit aligned — uncompressed blocks realign to 16 bits
+    before their raw bytes and consume a pad byte when odd-length
+    (lzxd.c:286-320), so the grid never shifts.
+    """
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def read(self, n: int) -> int:
+        v = 0
+        d = self.data
+        ln = len(d)
+        p = self.pos
+        for _ in range(n):
+            u2 = (p >> 4) << 1
+            lo = d[u2] if u2 < ln else 0
+            hi = d[u2 + 1] if u2 + 1 < ln else 0
+            v = (v << 1) | (((lo | (hi << 8)) >> (15 - (p & 15))) & 1)
+            p += 1
+        self.pos = p
+        return v
+
+
+def _canon_decmap(lens) -> dict:
+    """(length, canonical MSB code) -> symbol, ignoring lens > 16 like
+    the reference table builder (readhuff.h)."""
+    lens = [l if 0 < l <= 16 else 0 for l in lens]
+    max_len = max(lens) if lens else 0
+    bl_count = [0] * (max_len + 1)
+    for l in lens:
+        if l:
+            bl_count[l] += 1
+    code = 0
+    next_code = [0] * (max_len + 2)
+    for l in range(1, max_len + 1):
+        code = (code + bl_count[l - 1]) << 1
+        next_code[l] = code
+    out = {}
+    for sym, l in enumerate(lens):
+        if l:
+            out[(l, next_code[l])] = sym
+            next_code[l] += 1
+    return out
+
+
+def _host_huff(rdr: _MsbBits, decmap: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rdr.read(1)
+        sym = decmap.get((ln, code))
+        if sym is not None:
+            return sym
+    raise NeedFallback("undecodable code in tree header")
+
+
+def _host_read_lens(rdr: _MsbBits, lens: np.ndarray, first: int,
+                    last: int) -> None:
+    """Pretree-delta code lengths, mirroring codecs/lzx._read_lens
+    (reference lzxd.c:138-183) including the mod-17 wrap + byte-store
+    quirks."""
+    pre = [rdr.read(4) for _ in range(20)]
+    decmap = _canon_decmap(pre)
+    x = first
+    while x < last:
+        z = _host_huff(rdr, decmap)
+        if z == 17:
+            for _ in range(rdr.read(4) + 4):
+                lens[x] = 0
+                x += 1
+        elif z == 18:
+            for _ in range(rdr.read(5) + 20):
+                lens[x] = 0
+                x += 1
+        elif z == 19:
+            y = rdr.read(1) + 4
+            z = _host_huff(rdr, decmap)
+            z = int(lens[x]) - z
+            if z < 0:
+                z += 17
+            z &= 0xFF
+            for _ in range(y):
+                lens[x] = z
+                x += 1
+        else:
+            z = int(lens[x]) - z
+            if z < 0:
+                z += 17
+            lens[x] = z & 0xFF
+            x += 1
+
+
+# ----------------------------------------------------------------------
+# Device: LUT build, speculative decode, frame walk, extraction
+
+
+def _device_lut_msb(lens, nsyms: int, nbits: int):
+    """Canonical MSB LUT (index = next `nbits` stream bits, entry =
+    len | sym<<5, -1 invalid). Returns (lut, total) — total==2^nbits
+    means Kraft-complete; 0 means empty."""
+    syms = jnp.arange(nsyms, dtype=jnp.int32)
+    eff = jnp.where((lens > 0) & (lens <= 16), lens, 0)
+    present = eff > 0
+    key = jnp.where(present, eff * 2048 + syms, jnp.int32(1 << 22))
+    order = jnp.argsort(key)
+    s_lens = jnp.take(eff, order)
+    s_present = jnp.take(present, order)
+    sizes = jnp.where(s_present,
+                      1 << (nbits - jnp.clip(s_lens, 1, nbits)), 0)
+    cum_end = jnp.cumsum(sizes)
+    total = cum_end[-1]
+
+    v = jnp.arange(1 << nbits, dtype=jnp.int32)
+    idx = jnp.clip(jnp.searchsorted(cum_end, v, side="right"), 0, nsyms - 1)
+    sym = jnp.take(order, idx)
+    L = jnp.take(eff, sym)
+    valid = (v < total) & (L > 0) & (L <= nbits)
+    entry = L | (sym << 5)
+    return jnp.where(valid, entry, -1), total
+
+
+def _spec_decode(units, mainlut, lenlut, allut, aligned_flag,
+                 length_empty, P: int):
+    """Speculative LZX symbol decode at every bit position 0..P-1.
+
+    Returns per-position (kind i8 [0 lit, 1 match, 3 bad], outlen,
+    slot i8 [0/1/2 rep, 3 new-offset], dist [computed offset for new],
+    lit u8, nxt bit position)."""
+    p = jnp.arange(P, dtype=jnp.int32)
+
+    def win17(pos):
+        u = pos >> 4
+        q = (pos & 15).astype(jnp.uint32)
+        a = jnp.take(units, u)
+        b = jnp.take(units, u + 1)
+        hi = (a << jnp.uint32(16)) | b
+        return (hi >> (jnp.uint32(15) - q)) & jnp.uint32(0x1FFFF)
+
+    def read_dyn(pos, nbits):
+        # MSB-first read of `nbits` (<=17) at `pos`
+        return (win17(pos) >> (jnp.uint32(17)
+                               - nbits.astype(jnp.uint32))).astype(jnp.int32)
+
+    w16 = (win17(p) >> 1).astype(jnp.int32)
+    e1 = jnp.take(mainlut, w16)
+    n1 = e1 & 31
+    sym = e1 >> 5
+    bad = e1 < 0
+    is_lit = (sym < 256) & ~bad
+
+    elem = jnp.maximum(sym - 256, 0)
+    len_hdr = elem & 7
+    slot = jnp.minimum(elem >> 3, 63)
+
+    p1 = p + n1
+    w16b = (win17(p1) >> 1).astype(jnp.int32)
+    e2 = jnp.take(lenlut, w16b)
+    need_len = (~is_lit) & (len_hdr == 7)
+    n2 = jnp.where(need_len, e2 & 31, 0)
+    lsym = e2 >> 5
+    bad |= need_len & ((e2 < 0) | length_empty)
+    mlen = jnp.where(len_hdr == 7, 7 + lsym, len_hdr) + 2
+
+    extra = jnp.take(jnp.asarray(_EXTRA_TBL), slot)
+    base = jnp.take(jnp.asarray(_BASE_TBL), slot)
+    p2 = p1 + n2
+
+    # verbatim path: `extra` raw bits
+    off_verb = base + read_dyn(p2, extra)
+    nb_verb = extra
+    # aligned path for extra >= 3: (extra-3) raw high bits + aligned sym
+    hi_bits = jnp.maximum(extra - 3, 0)
+    hi_val = read_dyn(p2, hi_bits)
+    w7 = (win17(p2 + hi_bits) >> 10).astype(jnp.int32)
+    e3 = jnp.take(allut, w7)
+    n3 = e3 & 31
+    asym = e3 >> 5
+    use_al = aligned_flag & (extra >= 3)
+    bad |= (~is_lit) & (slot >= 3) & use_al & (e3 < 0)
+    off = jnp.where(use_al, base + (hi_val << 3) + asym, off_verb)
+    nb_off = jnp.where(use_al, hi_bits + n3, nb_verb)
+
+    is_rep = slot < 3
+    tok_bits = jnp.where(is_lit, n1,
+                         n1 + n2 + jnp.where(is_rep, 0, nb_off))
+    nxt = p + tok_bits
+    bad |= nxt > P
+
+    kind = jnp.where(bad, 3, jnp.where(is_lit, 0, 1)).astype(jnp.int8)
+    outlen = jnp.where(kind == 0, 1, jnp.where(kind == 1, mlen, 0))
+    dist = jnp.where(is_rep, 0, off)
+    nxt = jnp.clip(jnp.where(bad, p, nxt), 0, P - 1)
+    return (kind, outlen, dist,
+            jnp.where(is_rep, slot, 3).astype(jnp.int8),
+            (sym & 0xFF).astype(jnp.uint8), nxt)
+
+
+@functools.partial(jax.jit, static_argnames=("U", "F"))
+def _block_device(units, d0, main_lens, len_lens, al_lens, aligned_flag,
+                  length_empty, block_len, o0, U: int, F: int):
+    """One VERBATIM/ALIGNED block: speculative decode + frame walk +
+    token extraction. Returns flat (F*R_TOK,) token fields, the block's
+    end bit position, and a validity flag."""
+    P = 16 * (U - 2)
+
+    mainlut, tm = _device_lut_msb(main_lens, MAINSYMS, 16)
+    lenlut, tl = _device_lut_msb(len_lens, LENSYMS, 16)
+    allut, ta = _device_lut_msb(al_lens, 8, 7)
+    ok = (tm == (1 << 16)) & ((tl == (1 << 16)) | (tl == 0))
+    ok &= jnp.where(aligned_flag, ta == (1 << 7), True)
+
+    kind, outlen, dist, slot, lit, nxt = _spec_decode(
+        units, mainlut, lenlut, allut, aligned_flag, length_empty, P)
+
+    sums = [outlen]
+    jumps = [nxt]
+    for _ in range(N_DOUBLINGS - 1):
+        j, s = jumps[-1], sums[-1]
+        sums.append(s + jnp.take(s, j))
+        jumps.append(jnp.take(j, j))
+
+    # frame walk: follow the chain from d0, realigning at every 32 KiB
+    # output boundary (crossing matches overrun but never cross blocks)
+    fb0 = (o0 // FRAME_SIZE + 1) * FRAME_SIZE - o0   # first boundary
+
+    def step(f, st):
+        cur, produced, ok_w, seg_start, seg_cnt = st
+        active = produced < block_len
+        boundary = fb0 + f * FRAME_SIZE
+        target = jnp.minimum(boundary, block_len) - produced
+
+        pos, acc, cnt = cur, jnp.int32(0), jnp.int32(0)
+        for k in range(N_DOUBLINGS - 1, -1, -1):
+            sk = jnp.take(sums[k], pos)
+            go = (acc + sk) < target
+            acc = jnp.where(go, acc + sk, acc)
+            pos = jnp.where(go, jnp.take(jumps[k], pos), pos)
+            cnt = cnt + jnp.where(go, 1 << k, 0)
+        # the next token reaches/crosses the target
+        acc = acc + jnp.take(sums[0], pos)
+        pos_end = jnp.take(jumps[0], pos)
+        cnt = cnt + 1
+
+        new_prod = produced + acc
+        hit_boundary = new_prod >= boundary
+        aligned_pos = (pos_end + 15) & ~15
+        new_cur = jnp.where(hit_boundary, aligned_pos, pos_end)
+
+        seg_start = seg_start.at[f].set(jnp.where(active, cur, 0))
+        seg_cnt = seg_cnt.at[f].set(jnp.where(active, cnt, 0))
+        ok_w &= jnp.where(active, acc > 0, True)
+        return (jnp.where(active, new_cur, cur),
+                jnp.where(active, new_prod, produced),
+                ok_w, seg_start, seg_cnt)
+
+    init = (d0, jnp.int32(0), ok,
+            jnp.zeros(F, jnp.int32), jnp.zeros(F, jnp.int32))
+    end_pos, produced, ok, seg_start, seg_cnt = jax.lax.fori_loop(
+        0, F, step, init)
+    ok &= produced == block_len
+
+    # token extraction by rank jumping, 4 segments per map step
+    ranks = jnp.arange(R_TOK, dtype=jnp.int32)
+
+    def extract(args):
+        s0, cn = args
+        pos = jnp.broadcast_to(s0[:, None], (s0.shape[0], R_TOK))
+        rk = jnp.broadcast_to(ranks[None, :], pos.shape)
+        for k in range(N_DOUBLINGS):
+            bit = (rk >> k) & 1
+            pos = jnp.where(bit == 1, jnp.take(jumps[k], pos), pos)
+        live = rk < cn[:, None]
+        t_kind = jnp.where(live, jnp.take(kind, pos), 3).astype(jnp.int8)
+        t_outlen = jnp.where(live, jnp.take(outlen, pos), 0)
+        t_dist = jnp.where(live, jnp.take(dist, pos), 0)
+        t_slot = jnp.where(live, jnp.take(slot, pos), 0).astype(jnp.int8)
+        t_lit = jnp.take(lit, pos)
+        bad_tok = live & (jnp.take(kind, pos) == 3)
+        return t_kind, t_outlen, t_dist, t_slot, t_lit, jnp.any(bad_tok)
+
+    G = 4
+    t_kind, t_outlen, t_dist, t_slot, t_lit, any_bad = jax.lax.map(
+        extract, (seg_start.reshape(-1, G if F >= G else F),
+                  seg_cnt.reshape(-1, G if F >= G else F)))
+    ok &= ~jnp.any(any_bad)
+    n = F * R_TOK
+    return (t_kind.reshape(n), t_outlen.reshape(n), t_dist.reshape(n),
+            t_slot.reshape(n), t_lit.reshape(n), end_pos, ok)
+
+
+# ----------------------------------------------------------------------
+# Phase B: rep-offset scan + match resolve over the whole stream
+
+
+def _rep_combine(a, b):
+    a_src, a_val = a
+    b_src, b_val = b
+    idx = jnp.clip(b_src, 0, 2).astype(jnp.int32)
+    g_src = jnp.take_along_axis(a_src, idx, axis=-1)
+    g_val = jnp.take_along_axis(a_val, idx, axis=-1)
+    return (jnp.where(b_src < 0, b_src, g_src),
+            jnp.where(b_src < 0, b_val, g_val))
+
+
+_PERM = np.asarray([
+    [0, 1, 2],    # slot 0: R unchanged
+    [1, 0, 2],    # slot 1: swap R0,R1
+    [2, 1, 0],    # slot 2: swap R0,R2
+    [-1, 0, 1],   # new offset: insert const
+], np.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("N",))
+def _phase_b(kind, outlen, dist, slot, lit, aux, base, wsize, N: int):
+    """kind 0=literal/raw-run, 1=match, 2=R-reset pseudo, 3=dead.
+    aux (T,2): R1/R2 constants for kind-2 rows. Returns (out, ok)."""
+    T = kind.shape[0]
+    is_match = kind == 1
+
+    src = jnp.broadcast_to(jnp.asarray(_PERM[0]), (T, 3))
+    src = jnp.where(is_match[:, None],
+                    jnp.take(jnp.asarray(_PERM), jnp.clip(slot, 0, 3),
+                             axis=0), src)
+    src = jnp.where((kind == 2)[:, None], jnp.int8(-1), src)
+    val = jnp.zeros((T, 3), jnp.int32)
+    val = val.at[:, 0].set(dist)
+    val = val.at[:, 1].set(jnp.where(kind == 2, aux[:, 0], 0))
+    val = val.at[:, 2].set(jnp.where(kind == 2, aux[:, 1], 0))
+
+    s_src, s_val = jax.lax.associative_scan(_rep_combine, (src, val))
+    # initial R0=R1=R2=1 (lzxd.c reset state)
+    r0 = jnp.where(s_src[:, 0] < 0, s_val[:, 0], 1)
+    dist_f = jnp.where(is_match, r0, 0)
+
+    out_start = jnp.cumsum(outlen) - outlen
+    ok = ~jnp.any(is_match & (dist_f > out_start))
+    ok &= ~jnp.any(is_match & (dist_f > wsize))
+    ok &= ~jnp.any(is_match & (dist_f < 1))
+    # scalar parity: matches may not run over the window wrap
+    ok &= ~jnp.any(is_match & ((out_start % wsize) + outlen > wsize))
+
+    ptr, _ = tokens_to_ptr(N, out_start,
+                           jnp.where(is_match, 1, 0), lit, dist_f)
+    lit_buf = base.at[jnp.where(kind == 0, jnp.clip(out_start, 0, N - 1),
+                                N)].set(lit, mode="drop")
+    out = resolve(ptr, lit_buf)
+    return out, ok
+
+
+# ----------------------------------------------------------------------
+# Host orchestration
+
+
+def _le32(d: bytes, o: int) -> int:
+    return int.from_bytes(d[o : o + 4], "little")
+
+
+def lzx_stream_decode(data: bytes, window_bits: int,
+                      out_len: int) -> bytes | None:
+    """Decode a fresh LZX stream (CAB folder / CHM reset chunk) fully on
+    device. Returns bytes or None when the scalar/native path is needed
+    (DELTA, oversize blocks, malformed streams)."""
+    if not (15 <= window_bits <= 21) or out_len < 0:
+        return None
+    if out_len == 0:
+        return b""
+    try:
+        return _run(data, window_bits, out_len)
+    except NeedFallback:
+        return None
+
+
+def _run(data: bytes, wb: int, out_len: int) -> bytes:
+    rdr = _MsbBits(data)
+    filesize = 0
+    if rdr.read(1):
+        v = (rdr.read(16) << 16) | rdr.read(16)
+        filesize = v - (1 << 32) if v & 0x80000000 else v
+    first_e8_frame = None
+
+    nmain = 256 + (POSITION_SLOTS[wb - 15] << 3)
+    maintree_len = np.zeros(MAINSYMS, np.int32)
+    length_len = np.zeros(LENSYMS, np.int32)
+
+    N = max(256, 1 << max(0, out_len - 1).bit_length())
+    if N > (1 << 27):
+        raise NeedFallback("stream too large for device path")
+    base = np.zeros(N, np.uint8)
+
+    # flat token stream: device arrays from blocks + host pseudo rows
+    parts = []          # (kind, outlen, dist, slot, lit, aux) chunks
+    o = 0
+    while o < out_len:
+        btype = rdr.read(3)
+        blen = (rdr.read(16) << 8) | rdr.read(8)
+        blen_eff = min(blen, out_len - o)
+
+        if btype == 3:                      # UNCOMPRESSED
+            if rdr.pos & 15 == 0:
+                rdr.pos += 16               # ensure(16) then drop all
+            else:
+                rdr.pos = (rdr.pos + 15) & ~15
+            bo = rdr.pos >> 3
+            if bo + 12 + blen_eff > len(data):
+                raise NeedFallback("EOF in uncompressed block")
+            r0, r1, r2 = _le32(data, bo), _le32(data, bo + 4), _le32(data, bo + 8)
+            if r0 < 1 or r1 < 1 or r2 < 1:
+                raise NeedFallback("bad stored R0-R2")
+            raw = data[bo + 12 : bo + 12 + blen_eff]
+            base[o : o + blen_eff] = np.frombuffer(raw, np.uint8)
+            parts.append(_pseudo_rows(blen_eff, raw[0], r0, r1, r2))
+            rdr.pos = (bo + 12 + blen) * 8
+            if blen & 1 and (o + blen_eff) < out_len:
+                rdr.pos += 8                # odd-length pad byte
+            if first_e8_frame is None:
+                first_e8_frame = o // FRAME_SIZE
+            o += blen_eff
+            continue
+
+        if btype not in (1, 2):
+            raise NeedFallback("bad block type")
+        aligned = btype == 2
+        al_lens = np.zeros(8, np.int32)
+        if aligned:
+            for i in range(8):
+                al_lens[i] = rdr.read(3)
+        _host_read_lens(rdr, maintree_len, 0, 256)
+        _host_read_lens(rdr, maintree_len, 256, nmain)
+        if maintree_len[0xE8] and first_e8_frame is None:
+            first_e8_frame = o // FRAME_SIZE
+        _host_read_lens(rdr, length_len, 0, NUM_SECONDARY)
+        length_empty = not length_len[:NUM_SECONDARY].any()
+        if blen_eff == 0:
+            continue
+
+        frames_spanned = (o % FRAME_SIZE + blen_eff
+                          + FRAME_SIZE - 1) // FRAME_SIZE
+        d0 = rdr.pos
+        u0 = d0 >> 4                        # slice at a unit boundary
+        rest = len(data) - 2 * u0
+        bucket = next((b for b in BUCKETS
+                       if frames_spanned <= b[0]
+                       and min(rest, 4 * blen_eff + 4096) <= b[1]), None)
+        if bucket is None:
+            raise NeedFallback("block exceeds device buckets")
+        F, S = bucket
+        sl = data[2 * u0 : 2 * u0 + S]
+        buf = np.zeros(S + 4, np.uint8)
+        buf[: len(sl)] = np.frombuffer(sl, np.uint8)
+        # 16-bit little-endian units, consumed MSB-first (lzxd.c:86-91)
+        units = jnp.asarray((buf[0::2].astype(np.uint32)
+                             | (buf[1::2].astype(np.uint32) << 8)))
+
+        (t_kind, t_outlen, t_dist, t_slot, t_lit,
+         end_rel, ok) = _block_device(
+            units, jnp.int32(d0 - 16 * u0),
+            jnp.asarray(maintree_len[:MAINSYMS]),
+            jnp.asarray(length_len[:LENSYMS]), jnp.asarray(al_lens),
+            jnp.bool_(aligned), jnp.bool_(length_empty),
+            jnp.int32(blen_eff), jnp.int32(o),
+            U=(S + 4) // 2, F=F)
+        if not bool(ok):
+            raise NeedFallback("device block decode failed")
+        if int(end_rel) > 8 * len(sl):
+            # tokens near the slice end were decoded from zero padding
+            raise NeedFallback("block overran its slice")
+        rdr.pos = 16 * u0 + int(end_rel)
+        parts.append((t_kind, t_outlen, t_dist, t_slot, t_lit,
+                      jnp.zeros((F * R_TOK, 2), jnp.int32)))
+        o += blen_eff
+
+    # assemble the flat token stream
+    kind = jnp.concatenate([p[0] for p in parts])
+    outlen = jnp.concatenate([p[1] for p in parts])
+    dist = jnp.concatenate([p[2] for p in parts])
+    slot = jnp.concatenate([p[3] for p in parts])
+    lit = jnp.concatenate([p[4] for p in parts])
+    aux = jnp.concatenate([p[5] for p in parts])
+
+    T = kind.shape[0]
+    T_pad = max(256, 1 << max(0, T - 1).bit_length())
+    padn = T_pad - T
+    if padn:
+        kind = jnp.concatenate([kind, jnp.full(padn, 3, jnp.int8)])
+        outlen = jnp.concatenate([outlen, jnp.zeros(padn, jnp.int32)])
+        dist = jnp.concatenate([dist, jnp.zeros(padn, jnp.int32)])
+        slot = jnp.concatenate([slot, jnp.zeros(padn, jnp.int8)])
+        lit = jnp.concatenate([lit, jnp.zeros(padn, jnp.uint8)])
+        aux = jnp.concatenate([aux, jnp.zeros((padn, 2), jnp.int32)])
+
+    out, ok = _phase_b(kind, outlen, dist, slot, lit, aux,
+                       jnp.asarray(base), jnp.int32(1 << wb), N)
+    if not bool(ok):
+        raise NeedFallback("phase B validity check failed")
+    result = np.asarray(out)[:out_len]
+
+    # E8 call translation per frame (reference lzxd.c:706-733)
+    if first_e8_frame is not None and filesize:
+        result = bytearray(result.tobytes())
+        nframes = (out_len + FRAME_SIZE - 1) // FRAME_SIZE
+        for f in range(first_e8_frame, min(nframes, 32768)):
+            fo = f * FRAME_SIZE
+            fsz = min(FRAME_SIZE, out_len - fo)
+            if fsz > 10:
+                result[fo : fo + fsz] = _e8_transform(
+                    bytearray(result[fo : fo + fsz]), fo, filesize)
+        return bytes(result)
+    return result.tobytes()
+
+
+def _pseudo_rows(raw_len: int, first_byte: int, r0: int, r1: int, r2: int):
+    """One kind-2 R-reset row followed by one kind-0 raw-run row."""
+    return (jnp.asarray(np.array([2, 0], np.int8)),
+            jnp.asarray(np.array([0, raw_len], np.int32)),
+            jnp.asarray(np.array([r0, 0], np.int32)),
+            jnp.asarray(np.array([0, 0], np.int8)),
+            jnp.asarray(np.array([0, first_byte], np.uint8)),
+            jnp.asarray(np.array([[r1, r2], [0, 0]], np.int32)))
