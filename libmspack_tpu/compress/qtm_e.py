@@ -238,7 +238,19 @@ class QtmEncoder:
         return payloads
 
 
-def compress(data: bytes, window_bits: int) -> list[bytes]:
+def compress(data: bytes, window_bits: int,
+             engine: str = "auto") -> list[bytes]:
+    """Encode to per-frame payloads. engine: "auto" prefers the native
+    C++ port (msp_qtm_encode, same algorithm), "python" forces this
+    module's reference implementation."""
+    if engine == "auto":
+        try:
+            from .. import native
+            r = native.qtm_encode(data, window_bits)
+            if r is not None:
+                return r
+        except Exception:
+            pass
     return QtmEncoder(window_bits).compress(data)
 
 

@@ -58,6 +58,7 @@ def lib():
         _lib.msp_cab_mszip_pipeline.restype = ctypes.c_int
         _lib.msp_cab_pipeline.restype = ctypes.c_int
         _lib.msp_qtm_decode.restype = ctypes.c_int
+        _lib.msp_qtm_encode.restype = ctypes.c_int64
     return _lib
 
 
@@ -387,6 +388,26 @@ def qtm_decode_into(stream, stream_len: int, window_bits: int, out,
                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                          ctypes.c_uint64(out.nbytes))
     return r == 0
+
+
+def qtm_encode(data: bytes, window_bits: int,
+               max_chain: int = 64) -> list[bytes] | None:
+    """Encode one Quantum stream (native port of compress/qtm_e).
+    Returns per-frame payloads (one CAB CFDATA block each) or None."""
+    import numpy as np
+    L = lib()
+    nframes = max(1, (len(data) + 32767) // 32768)
+    # worst case ~8.3 bits/byte on the adaptive models + per-frame slack
+    cap = len(data) + len(data) // 4 + 64 * nframes + 4096
+    out = np.empty(cap, np.uint8)
+    offs = (ctypes.c_int64 * (nframes + 1))()
+    r = L.msp_qtm_encode(
+        data, ctypes.c_uint64(len(data)), window_bits, max_chain,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_uint64(cap), offs)
+    if r < 0:
+        return None
+    return [out[offs[i] : offs[i + 1]].tobytes() for i in range(int(r))]
 
 
 def qtm_decode(stream: bytes, window_bits: int, out_len: int) -> bytes | None:

@@ -995,6 +995,164 @@ struct Decoder {
   }
 };
 
+// ----------------------------------------------------------- encoder
+// Native port of compress/qtm_e.py (same algorithm, same bitstreams):
+// Witten-Neal-Cleary 16-bit range coder mirroring Decoder::get_symbol,
+// with the decoder's 16-bit lookahead register handled by splicing raw
+// extra-bit fields 16 RC bits after the coder's logical position.
+// After the flush the RC stream is exactly shifts+1 bits while the
+// decoder consumes 16+shifts, so each frame pads 15 zero bits + byte
+// alignment — the tail can never contain a spurious 0xFF trailer.
+
+struct FrameCoder {
+  uint16_t H = 0xFFFF, L = 0;
+  int underflow = 0;
+  std::vector<uint8_t> rc;                 // RC bits in stream order
+  struct Ins { uint32_t pos; uint32_t val; int nbits; };
+  std::vector<Ins> ins;
+
+  inline void emit(int bit) {
+    rc.push_back((uint8_t)bit);
+    if (underflow) {
+      rc.insert(rc.end(), (size_t)underflow, (uint8_t)(bit ^ 1));
+      underflow = 0;
+    }
+  }
+
+  void encode(Model& m, int symbol) {
+    int k = 0;
+    while (m.sym[k] != symbol) k++;        // alphabet <= 64
+    uint32_t rng = (uint32_t)(H - L) + 1;
+    uint32_t tot = m.cum[0];
+    uint16_t Hv = (uint16_t)(L + ((uint32_t)m.cum[k] * rng) / tot - 1);
+    uint16_t Lv = (uint16_t)(L + ((uint32_t)m.cum[k + 1] * rng) / tot);
+    for (int j = k; j >= 0; j--) m.cum[j] += 8;
+    if (m.cum[0] > 3800) m.update();
+    for (;;) {
+      if ((Lv & 0x8000) == (Hv & 0x8000)) {
+        emit(Lv >> 15);
+      } else if ((Lv & 0x4000) && !(Hv & 0x4000)) {
+        underflow++;
+        Lv &= 0x3FFF;
+        Hv |= 0x4000;
+      } else {
+        break;
+      }
+      Lv = (uint16_t)(Lv << 1);
+      Hv = (uint16_t)((Hv << 1) | 1);
+    }
+    H = Hv;
+    L = Lv;
+  }
+
+  inline void raw(uint32_t val, int nbits) {
+    if (nbits)
+      ins.push_back({(uint32_t)(16 + rc.size() + underflow), val, nbits});
+  }
+
+  // flush + splice; appends the frame payload to out. Returns bytes
+  // written or -1 when out of capacity.
+  int64_t finish(uint8_t* out, uint64_t cap) {
+    underflow++;
+    emit(L < 0x4000 ? 0 : 1);
+    rc.insert(rc.end(), 15, 0);            // decoder eats 16+shifts bits
+
+    uint64_t acc = 0, outn = 0;
+    int accn = 0;
+    auto putbit = [&](int b) -> bool {
+      acc = (acc << 1) | (unsigned)b;
+      if (++accn == 8) {
+        if (outn >= cap) return false;
+        out[outn++] = (uint8_t)acc;
+        acc = 0;
+        accn = 0;
+      }
+      return true;
+    };
+    size_t ip = 0;
+    for (size_t i = 0; i <= rc.size(); i++) {
+      while (ip < ins.size() && ins[ip].pos == i) {
+        for (int b = ins[ip].nbits - 1; b >= 0; b--)
+          if (!putbit((ins[ip].val >> b) & 1)) return -1;
+        ip++;
+      }
+      if (i < rc.size() && !putbit(rc[i])) return -1;
+    }
+    while (accn)
+      if (!putbit(0)) return -1;
+    return (int64_t)outn;
+  }
+};
+
+struct Encoder {
+  int wb;
+  uint32_t wsize;
+  Model m0, m1, m2, m3, m4, m5, m6, m6len, m7;
+
+  void init(int window_bits) {
+    wb = window_bits;
+    wsize = 1u << wb;
+    int i = wb * 2;
+    m0.init(0, 64); m1.init(64, 64); m2.init(128, 64); m3.init(192, 64);
+    m4.init(0, i > 24 ? 24 : i);
+    m5.init(0, i > 36 ? 36 : i);
+    m6.init(0, i);
+    m6len.init(0, 27);
+    m7.init(0, 7);
+  }
+
+  // largest slot with pos_base[s] <= dist-1 that also fits the model's
+  // alphabet (qtmd.c:242-251 sizes model 4/5 below the full table)
+  static inline int pos_slot(uint32_t dist, int entries) {
+    uint32_t f = dist - 1;
+    int lo = 0, hi = entries - 1, s = 0;
+    while (lo <= hi) {
+      int mid = (lo + hi) >> 1;
+      if (kQ.pos_base[mid] <= f) { s = mid; lo = mid + 1; }
+      else hi = mid - 1;
+    }
+    if (f >= kQ.pos_base[s] + (1u << kQ.extra_bits[s])) return -1;
+    return s;
+  }
+
+  bool encode_match(FrameCoder& fc, uint32_t length, uint32_t dist) {
+    if (length == 3) {
+      int s = pos_slot(dist, m4.entries);
+      if (s < 0) return false;
+      fc.encode(m7, 4);
+      fc.encode(m4, s);
+      fc.raw(dist - 1 - kQ.pos_base[s], kQ.extra_bits[s]);
+      return true;
+    }
+    if (length == 4) {
+      int s = pos_slot(dist, m5.entries);
+      if (s < 0) return false;
+      fc.encode(m7, 5);
+      fc.encode(m5, s);
+      fc.raw(dist - 1 - kQ.pos_base[s], kQ.extra_bits[s]);
+      return true;
+    }
+    int s = pos_slot(dist, m6.entries);
+    if (s < 0) return false;
+    uint32_t lv = length - 5;
+    int ls = 26;
+    while (kQ.len_base[ls] > lv) ls--;
+    fc.encode(m7, 6);
+    fc.encode(m6len, ls);
+    fc.raw(lv - kQ.len_base[ls], kQ.len_extra[ls]);
+    fc.encode(m6, s);
+    fc.raw(dist - 1 - kQ.pos_base[s], kQ.extra_bits[s]);
+    return true;
+  }
+
+  inline void encode_literal(FrameCoder& fc, uint8_t byte) {
+    int sel = byte >> 6;
+    fc.encode(m7, sel);
+    Model* lm[4] = {&m0, &m1, &m2, &m3};
+    fc.encode(*lm[sel], byte);
+  }
+};
+
 }  // namespace qtm
 
 
@@ -1949,6 +2107,69 @@ int msp_qtm_decode(const uint8_t* stream, uint64_t stream_len,
   return d.run(b, out, out_len);
 }
 
+
+// Encode one Quantum stream (CAB folder): one payload per 32 KiB frame
+// (= one CFDATA block; the CAB reader injects the 0xFF realign trailer,
+// cabd.c:1327-1332). frame_offs gets n_frames+1 byte offsets into out.
+// Returns the frame count, or <0 on error.
+int64_t msp_qtm_encode(const uint8_t* data, uint64_t len, int window_bits,
+                       int max_chain, uint8_t* out, uint64_t out_cap,
+                       int64_t* frame_offs) {
+  if (window_bits < 10 || window_bits > 21) return -2;
+  if (len >= (1ull << 31)) return -3;
+  qtm::Encoder enc;
+  enc.init(window_bits);
+  uint32_t wsize = enc.wsize;
+  lzxe::Matcher mat(data, (size_t)len, max_chain > 0 ? max_chain : 64,
+                    wsize);
+  constexpr uint32_t kMaxMatch = 259;   // len_base[26]=254 (+5)
+
+  size_t pos = 0;
+  uint64_t outn = 0;
+  int64_t nf = 0;
+  frame_offs[0] = 0;
+  while (pos < len) {
+    size_t fend = pos + qtm::kFrame;
+    if (fend > len) fend = len;
+    qtm::FrameCoder fc;
+    while (pos < fend) {
+      uint32_t cap = (uint32_t)(fend - pos);
+      if (cap > kMaxMatch) cap = kMaxMatch;
+      uint32_t best_len = 0, best_dist = 0;
+      if (pos + 2 < len && cap >= 3) {
+        int32_t cand = mat.head[lzxe::Matcher::h3(data + pos)];
+        int chain = mat.max_chain;
+        while (cand >= 0 && chain-- > 0) {
+          uint64_t dist = pos - (size_t)cand;
+          if (dist > wsize) break;       // ring holds last 2^wb bytes
+          uint32_t l = 0;
+          const uint8_t* a = data + cand;
+          const uint8_t* b = data + pos;
+          while (l < cap && a[l] == b[l]) l++;
+          if (l > best_len) {
+            best_len = l;
+            best_dist = (uint32_t)dist;
+            if (l >= cap) break;
+          }
+          cand = mat.prev[(uint32_t)cand & mat.mask];
+        }
+      }
+      if (best_len >= 3 && enc.encode_match(fc, best_len, best_dist)) {
+        for (uint32_t k = 0; k < best_len; k++) mat.insert(pos + k);
+        pos += best_len;
+      } else {
+        enc.encode_literal(fc, data[pos]);
+        mat.insert(pos);
+        pos++;
+      }
+    }
+    int64_t nb = fc.finish(out + outn, out_cap - outn);
+    if (nb < 0) return -1;
+    outn += (uint64_t)nb;
+    frame_offs[++nf] = (int64_t)outn;
+  }
+  return nf;
+}
 
 // Entropy-encode one LZX stream. Writes the stream to `out` and the
 // per-frame byte offsets to `frame_offs` (caller sizes it to the frame

@@ -61,6 +61,24 @@ def test_cab_writer_roundtrip(compression):
         os.unlink(path)
 
 
+def test_qtm_native_encoder_matches_python():
+    """The native msp_qtm_encode port must produce streams both our
+    decoders and the reference accept; on these corpora it also matches
+    the python reference encoder byte-for-byte (same algorithm)."""
+    from libmspack_tpu import native
+    from libmspack_tpu.compress import qtm_e
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = random.Random(41)
+    for data, wb in [(b"native encoder parity " * 2000, 15),
+                     (bytes(rng.randrange(256) for _ in range(40000)), 16)]:
+        nat = native.qtm_encode(data, wb)
+        py = qtm_e.QtmEncoder(wb).compress(data)
+        assert nat == py
+        stream = b"".join(p + b"\xff" for p in nat)
+        assert native.qtm_decode(stream, wb, len(data)) == data
+
+
 def test_qtm_encoder_stress():
     """Quantum encoder edge grid: window smaller than a frame (decoder
     wrap-copy path), exact frame boundaries, adaptive-model rescale on
