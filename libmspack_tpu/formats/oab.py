@@ -140,6 +140,24 @@ class OabDecompressor:
 
     def _decode_block(self, src, sink, csize: int, dsize: int, crc: int,
                       window_bits: int, ref_data: bytes | None) -> None:
+        if self.engine == "jax":
+            # whole-block LZX DELTA decode on device (ops/lzx_jax)
+            stream = src.read(csize)
+            if len(stream) == csize:
+                try:
+                    from ..ops.lzx_jax import lzx_stream_decode
+                    out = lzx_stream_decode(stream, window_bits, dsize,
+                                            is_delta=True,
+                                            ref_data=ref_data)
+                except Exception:
+                    out = None
+                if out is not None:
+                    if crc32_raw(out) != crc:
+                        raise ChecksumError("OAB block CRC mismatch")
+                    sink.write(out)
+                    return
+            # device path declined: re-feed the bytes to the scalar path
+            src = open_source(stream)
         if self.engine == "native":
             # whole-block decode on the native engine; fall through to
             # the scalar path on any shortfall

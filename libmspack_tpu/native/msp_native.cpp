@@ -1316,8 +1316,10 @@ static void make_lengths(const uint32_t* freq, int n, int limit,
           pick = i;
         }
       }
-      leafdepth[pick]--;
+      // promoting d -> d-1 adds 2^(limit-d) (the delta, not the new
+      // total contribution 2^(limit-d+1))
       kraft += 1ll << (limit - leafdepth[pick]);
+      leafdepth[pick]--;
     }
   }
   (void)bl_count;

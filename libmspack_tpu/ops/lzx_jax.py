@@ -31,8 +31,22 @@ UNCOMPRESSED blocks are handled on host (their extent is known without
 entropy decode): raw bytes land in the base output buffer and a pseudo
 token resets (R0,R1,R2) to the stored values (lzxd.c:303-320).
 
-Not covered (falls back to scalar/native): LZX DELTA, window bits
-outside 15..21, blocks spanning more than F_BUCKETS[-1] frames, streams
+LZX DELTA (OAB, reference lzxd.c:348-382/:588-611) is covered too:
+* windows 2^17..2^25 (up to 290 position slots / 2576 main symbols);
+* the long-match escape (match_length == 257 reads a 1/2/3-bit prefix
+  + 8/10/12/15 extra-length bits, matches up to 33024) folded into the
+  speculative decode — a single match may then cross TWO frame
+  boundaries, so the frame walk gates frames whose target was already
+  overrun (mirroring the reference's empty bytes_todo iterations);
+* the per-frame 16-bit chunk-size skip (lzxd.c delta frame prologue)
+  applied by whoever crosses/lands on each frame boundary: the device
+  walk for entropy blocks, the host raw copier for uncompressed ones;
+* reference data as a prefix of the phase-B buffer: match sources may
+  reach `ref_len` bytes before the stream start; the prefix region is
+  pointer-self-rooted so chains terminate on reference bytes.
+
+Not covered (falls back to scalar/native): window bits outside the
+per-mode range, blocks spanning more than F_BUCKETS[-1] frames, streams
 larger than the slice buckets. CHM reset-interval chunks — the natural
 shard grid — are exactly one-or-few blocks and fit the fast path.
 """
@@ -53,12 +67,14 @@ FRAME_SIZE = 32768
 R_TOK = FRAME_SIZE            # max tokens per frame segment (1 byte/token)
 N_DOUBLINGS = 15              # 2^15 = R_TOK
 MAINSYMS = 256 + (POSITION_SLOTS[21 - 15] << 3)   # 656, window <= 2^21
+MAINSYMS_DELTA = 256 + (POSITION_SLOTS[25 - 15] << 3)   # 2576, <= 2^25
 LENSYMS = 250
 NUM_SECONDARY = 249
+MAX_SLOTS = len(POSITION_BASE)   # 290 (delta windows reach slot 289)
 
-_EXTRA_TBL = np.zeros(64, np.int32)
-_BASE_TBL = np.zeros(64, np.int32)
-for _s in range(min(64, len(POSITION_BASE))):
+_EXTRA_TBL = np.zeros(MAX_SLOTS, np.int32)
+_BASE_TBL = np.zeros(MAX_SLOTS, np.int32)
+for _s in range(MAX_SLOTS):
     _EXTRA_TBL[_s] = 17 if _s >= 36 else EXTRA_BITS[_s]
     _BASE_TBL[_s] = POSITION_BASE[_s] - 2
 
@@ -180,7 +196,7 @@ def _device_lut_msb(lens, nsyms: int, nbits: int):
     syms = jnp.arange(nsyms, dtype=jnp.int32)
     eff = jnp.where((lens > 0) & (lens <= 16), lens, 0)
     present = eff > 0
-    key = jnp.where(present, eff * 2048 + syms, jnp.int32(1 << 22))
+    key = jnp.where(present, eff * 4096 + syms, jnp.int32(1 << 22))
     order = jnp.argsort(key)
     s_lens = jnp.take(eff, order)
     s_present = jnp.take(present, order)
@@ -199,12 +215,13 @@ def _device_lut_msb(lens, nsyms: int, nbits: int):
 
 
 def _spec_decode(units, mainlut, lenlut, allut, aligned_flag,
-                 length_empty, P: int):
+                 length_empty, P: int, DELTA: bool):
     """Speculative LZX symbol decode at every bit position 0..P-1.
 
     Returns per-position (kind i8 [0 lit, 1 match, 3 bad], outlen,
     slot i8 [0/1/2 rep, 3 new-offset], dist [computed offset for new],
-    lit u8, nxt bit position)."""
+    lit u8, nxt bit position). With DELTA, matches of length 257 read
+    the extra-length escape (lzxd.c:588-611)."""
     p = jnp.arange(P, dtype=jnp.int32)
 
     def win17(pos):
@@ -229,7 +246,7 @@ def _spec_decode(units, mainlut, lenlut, allut, aligned_flag,
 
     elem = jnp.maximum(sym - 256, 0)
     len_hdr = elem & 7
-    slot = jnp.minimum(elem >> 3, 63)
+    slot = jnp.minimum(elem >> 3, MAX_SLOTS - 1)
 
     p1 = p + n1
     w16b = (win17(p1) >> 1).astype(jnp.int32)
@@ -260,8 +277,29 @@ def _spec_decode(units, mainlut, lenlut, allut, aligned_flag,
     nb_off = jnp.where(use_al, hi_bits + n3, nb_verb)
 
     is_rep = slot < 3
-    tok_bits = jnp.where(is_lit, n1,
-                         n1 + n2 + jnp.where(is_rep, 0, nb_off))
+    off_bits = jnp.where(is_rep, 0, nb_off)
+
+    if DELTA:
+        # extra-length escape after the offset bits (lzxd.c:588-611):
+        # bit order at p3 is [1|0..0+8] [10|+10] [110|+12] [111|+15]
+        p3 = p + n1 + n2 + off_bits
+        t3 = (win17(p3) >> jnp.uint32(14)).astype(jnp.int32)
+        case_a = (t3 >> 2) == 0
+        case_b = (t3 >> 1) == 0b10
+        case_c = t3 == 0b110
+        esc_val = jnp.where(
+            case_a, read_dyn(p3 + 1, jnp.int32(8)),
+            jnp.where(case_b, read_dyn(p3 + 2, jnp.int32(10)) + 0x100,
+                      jnp.where(case_c,
+                                read_dyn(p3 + 3, jnp.int32(12)) + 0x500,
+                                read_dyn(p3 + 3, jnp.int32(15)))))
+        esc_bits = jnp.where(case_a, 9,
+                             jnp.where(case_b, 12, jnp.where(case_c, 15, 18)))
+        is_esc = (~is_lit) & (mlen == 257)
+        mlen = jnp.where(is_esc, mlen + esc_val, mlen)
+        off_bits = off_bits + jnp.where(is_esc, esc_bits, 0)
+
+    tok_bits = jnp.where(is_lit, n1, n1 + n2 + off_bits)
     nxt = p + tok_bits
     bad |= nxt > P
 
@@ -274,22 +312,24 @@ def _spec_decode(units, mainlut, lenlut, allut, aligned_flag,
             (sym & 0xFF).astype(jnp.uint8), nxt)
 
 
-@functools.partial(jax.jit, static_argnames=("U", "F"))
+@functools.partial(jax.jit, static_argnames=("U", "F", "DELTA"))
 def _block_device(units, d0, main_lens, len_lens, al_lens, aligned_flag,
-                  length_empty, block_len, o0, U: int, F: int):
+                  length_empty, block_len, o0, U: int, F: int,
+                  DELTA: bool = False):
     """One VERBATIM/ALIGNED block: speculative decode + frame walk +
     token extraction. Returns flat (F*R_TOK,) token fields, the block's
     end bit position, and a validity flag."""
     P = 16 * (U - 2)
 
-    mainlut, tm = _device_lut_msb(main_lens, MAINSYMS, 16)
+    nmain = MAINSYMS_DELTA if DELTA else MAINSYMS
+    mainlut, tm = _device_lut_msb(main_lens, nmain, 16)
     lenlut, tl = _device_lut_msb(len_lens, LENSYMS, 16)
     allut, ta = _device_lut_msb(al_lens, 8, 7)
     ok = (tm == (1 << 16)) & ((tl == (1 << 16)) | (tl == 0))
     ok &= jnp.where(aligned_flag, ta == (1 << 7), True)
 
     kind, outlen, dist, slot, lit, nxt = _spec_decode(
-        units, mainlut, lenlut, allut, aligned_flag, length_empty, P)
+        units, mainlut, lenlut, allut, aligned_flag, length_empty, P, DELTA)
 
     sums = [outlen]
     jumps = [nxt]
@@ -307,27 +347,33 @@ def _block_device(units, d0, main_lens, len_lens, al_lens, aligned_flag,
         active = produced < block_len
         boundary = fb0 + f * FRAME_SIZE
         target = jnp.minimum(boundary, block_len) - produced
+        # a DELTA match (<=33024) may overrun an entire frame; that
+        # frame decodes nothing but still realigns + chunk-skips
+        # (reference: empty bytes_todo iteration of the frame loop)
+        empty = target <= 0
 
         pos, acc, cnt = cur, jnp.int32(0), jnp.int32(0)
         for k in range(N_DOUBLINGS - 1, -1, -1):
             sk = jnp.take(sums[k], pos)
-            go = (acc + sk) < target
+            go = ((acc + sk) < target) & ~empty
             acc = jnp.where(go, acc + sk, acc)
             pos = jnp.where(go, jnp.take(jumps[k], pos), pos)
             cnt = cnt + jnp.where(go, 1 << k, 0)
         # the next token reaches/crosses the target
-        acc = acc + jnp.take(sums[0], pos)
-        pos_end = jnp.take(jumps[0], pos)
-        cnt = cnt + 1
+        acc = jnp.where(empty, 0, acc + jnp.take(sums[0], pos))
+        pos_end = jnp.where(empty, cur, jnp.take(jumps[0], pos))
+        cnt = jnp.where(empty, 0, cnt + 1)
 
         new_prod = produced + acc
         hit_boundary = new_prod >= boundary
         aligned_pos = (pos_end + 15) & ~15
+        if DELTA:
+            aligned_pos = aligned_pos + 16   # frame chunk-size skip
         new_cur = jnp.where(hit_boundary, aligned_pos, pos_end)
 
         seg_start = seg_start.at[f].set(jnp.where(active, cur, 0))
         seg_cnt = seg_cnt.at[f].set(jnp.where(active, cnt, 0))
-        ok_w &= jnp.where(active, acc > 0, True)
+        ok_w &= jnp.where(active & ~empty, acc > 0, True)
         return (jnp.where(active, new_cur, cur),
                 jnp.where(active, new_prod, produced),
                 ok_w, seg_start, seg_cnt)
@@ -389,10 +435,16 @@ _PERM = np.asarray([
 ], np.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("N",))
-def _phase_b(kind, outlen, dist, slot, lit, aux, base, wsize, N: int):
+@functools.partial(jax.jit, static_argnames=("N", "S0"))
+def _phase_b(kind, outlen, dist, slot, lit, aux, base, wsize, ref_len,
+             N: int, S0: int = 0):
     """kind 0=literal/raw-run, 1=match, 2=R-reset pseudo, 3=dead.
-    aux (T,2): R1/R2 constants for kind-2 rows. Returns (out, ok)."""
+    aux (T,2): R1/R2 constants for kind-2 rows. Returns (out, ok).
+
+    S0 (static, 32 KiB-rounded) shifts the output region: base[0:S0]
+    holds LZX DELTA reference data in its tail (base[S0-ref_len:S0]),
+    matches may reach up to ref_len bytes before the stream start
+    (lzxd.c:622-628) and the prefix is pointer-self-rooted."""
     T = kind.shape[0]
     is_match = kind == 1
 
@@ -411,15 +463,18 @@ def _phase_b(kind, outlen, dist, slot, lit, aux, base, wsize, N: int):
     r0 = jnp.where(s_src[:, 0] < 0, s_val[:, 0], 1)
     dist_f = jnp.where(is_match, r0, 0)
 
-    out_start = jnp.cumsum(outlen) - outlen
-    ok = ~jnp.any(is_match & (dist_f > out_start))
+    out_start = jnp.cumsum(outlen) - outlen + S0
+    ok = ~jnp.any(is_match & (dist_f > out_start - S0 + ref_len))
     ok &= ~jnp.any(is_match & (dist_f > wsize))
     ok &= ~jnp.any(is_match & (dist_f < 1))
     # scalar parity: matches may not run over the window wrap
-    ok &= ~jnp.any(is_match & ((out_start % wsize) + outlen > wsize))
+    ok &= ~jnp.any(is_match & ((out_start - S0) % wsize + outlen > wsize))
 
     ptr, _ = tokens_to_ptr(N, out_start,
                            jnp.where(is_match, 1, 0), lit, dist_f)
+    if S0:
+        pos = jnp.arange(N, dtype=jnp.int32)
+        ptr = jnp.where(pos < S0, pos, ptr)   # ref bytes are roots
     lit_buf = base.at[jnp.where(kind == 0, jnp.clip(out_start, 0, N - 1),
                                 N)].set(lit, mode="drop")
     out = resolve(ptr, lit_buf)
@@ -434,23 +489,30 @@ def _le32(d: bytes, o: int) -> int:
     return int.from_bytes(d[o : o + 4], "little")
 
 
-def lzx_stream_decode(data: bytes, window_bits: int,
-                      out_len: int) -> bytes | None:
-    """Decode a fresh LZX stream (CAB folder / CHM reset chunk) fully on
-    device. Returns bytes or None when the scalar/native path is needed
-    (DELTA, oversize blocks, malformed streams)."""
-    if not (15 <= window_bits <= 21) or out_len < 0:
+def lzx_stream_decode(data: bytes, window_bits: int, out_len: int, *,
+                      is_delta: bool = False,
+                      ref_data: bytes | None = None) -> bytes | None:
+    """Decode a fresh LZX stream (CAB folder / CHM reset chunk / OAB
+    DELTA block) fully on device. Returns bytes or None when the
+    scalar/native path is needed (oversize blocks, malformed streams)."""
+    lo, hi = (17, 25) if is_delta else (15, 21)
+    if not (lo <= window_bits <= hi) or out_len < 0:
+        return None
+    if ref_data and (not is_delta or len(ref_data) > (1 << window_bits)):
         return None
     if out_len == 0:
         return b""
     try:
-        return _run(data, window_bits, out_len)
+        return _run(data, window_bits, out_len, is_delta, ref_data or b"")
     except NeedFallback:
         return None
 
 
-def _run(data: bytes, wb: int, out_len: int) -> bytes:
+def _run(data: bytes, wb: int, out_len: int, is_delta: bool = False,
+         ref: bytes = b"") -> bytes:
     rdr = _MsbBits(data)
+    if is_delta:
+        rdr.pos = 16                  # first frame's chunk size
     filesize = 0
     if rdr.read(1):
         v = (rdr.read(16) << 16) | rdr.read(16)
@@ -458,13 +520,18 @@ def _run(data: bytes, wb: int, out_len: int) -> bytes:
     first_e8_frame = None
 
     nmain = 256 + (POSITION_SLOTS[wb - 15] << 3)
-    maintree_len = np.zeros(MAINSYMS, np.int32)
+    NMAIN = MAINSYMS_DELTA if is_delta else MAINSYMS
+    maintree_len = np.zeros(NMAIN, np.int32)
     length_len = np.zeros(LENSYMS, np.int32)
 
-    N = max(256, 1 << max(0, out_len - 1).bit_length())
+    rl = len(ref)
+    S0 = (rl + FRAME_SIZE - 1) & ~(FRAME_SIZE - 1)   # 32 KiB-rounded
+    N = max(256, 1 << max(0, S0 + out_len - 1).bit_length())
     if N > (1 << 27):
         raise NeedFallback("stream too large for device path")
     base = np.zeros(N, np.uint8)
+    if rl:
+        base[S0 - rl : S0] = np.frombuffer(ref, np.uint8)
 
     # flat token stream: device arrays from blocks + host pseudo rows
     parts = []          # (kind, outlen, dist, slot, lit, aux) chunks
@@ -485,10 +552,29 @@ def _run(data: bytes, wb: int, out_len: int) -> bytes:
             r0, r1, r2 = _le32(data, bo), _le32(data, bo + 4), _le32(data, bo + 8)
             if r0 < 1 or r1 < 1 or r2 < 1:
                 raise NeedFallback("bad stored R0-R2")
-            raw = data[bo + 12 : bo + 12 + blen_eff]
-            base[o : o + blen_eff] = np.frombuffer(raw, np.uint8)
-            parts.append(_pseudo_rows(blen_eff, raw[0], r0, r1, r2))
-            rdr.pos = (bo + 12 + blen) * 8
+            pos_b = bo + 12
+            first_raw = data[pos_b]
+            if not is_delta:
+                base[S0 + o : S0 + o + blen_eff] = np.frombuffer(
+                    data[pos_b : pos_b + blen_eff], np.uint8)
+                pos_b += blen_eff
+            else:
+                # DELTA interleaves a 16-bit chunk size at every frame
+                # boundary, even inside raw data (frame-loop prologue)
+                left, cur_o = blen_eff, o
+                while left:
+                    chunk = min(left, FRAME_SIZE - (cur_o % FRAME_SIZE))
+                    if pos_b + chunk > len(data):
+                        raise NeedFallback("EOF in uncompressed block")
+                    base[S0 + cur_o : S0 + cur_o + chunk] = np.frombuffer(
+                        data[pos_b : pos_b + chunk], np.uint8)
+                    pos_b += chunk
+                    cur_o += chunk
+                    left -= chunk
+                    if (cur_o % FRAME_SIZE) == 0 and cur_o < out_len:
+                        pos_b += 2          # next frame's chunk size
+            parts.append(_pseudo_rows(blen_eff, first_raw, r0, r1, r2))
+            rdr.pos = (pos_b + (blen - blen_eff)) * 8
             if blen & 1 and (o + blen_eff) < out_len:
                 rdr.pos += 8                # odd-length pad byte
             if first_e8_frame is None:
@@ -533,14 +619,17 @@ def _run(data: bytes, wb: int, out_len: int) -> bytes:
         (t_kind, t_outlen, t_dist, t_slot, t_lit,
          end_rel, ok) = _block_device(
             units, jnp.int32(d0 - 16 * u0),
-            jnp.asarray(maintree_len[:MAINSYMS]),
+            jnp.asarray(maintree_len[:NMAIN]),
             jnp.asarray(length_len[:LENSYMS]), jnp.asarray(al_lens),
             jnp.bool_(aligned), jnp.bool_(length_empty),
             jnp.int32(blen_eff), jnp.int32(o),
-            U=(S + 4) // 2, F=F)
+            U=(S + 4) // 2, F=F, DELTA=is_delta)
         if not bool(ok):
             raise NeedFallback("device block decode failed")
-        if int(end_rel) > 8 * len(sl):
+        # at the final frame boundary the walk's realign (+ DELTA chunk
+        # skip) may step 16+16 bits past the stream's last data bit
+        slack = 32 if (o + blen_eff) >= out_len else 0
+        if int(end_rel) > 8 * len(sl) + slack:
             # tokens near the slice end were decoded from zero padding
             raise NeedFallback("block overran its slice")
         rdr.pos = 16 * u0 + int(end_rel)
@@ -568,10 +657,11 @@ def _run(data: bytes, wb: int, out_len: int) -> bytes:
         aux = jnp.concatenate([aux, jnp.zeros((padn, 2), jnp.int32)])
 
     out, ok = _phase_b(kind, outlen, dist, slot, lit, aux,
-                       jnp.asarray(base), jnp.int32(1 << wb), N)
+                       jnp.asarray(base), jnp.int32(1 << wb),
+                       jnp.int32(rl), N, S0)
     if not bool(ok):
         raise NeedFallback("phase B validity check failed")
-    result = np.asarray(out)[:out_len]
+    result = np.asarray(out)[S0 : S0 + out_len]
 
     # E8 call translation per frame (reference lzxd.c:706-733)
     if first_e8_frame is not None and filesize:
