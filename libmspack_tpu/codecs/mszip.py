@@ -1,20 +1,23 @@
 """MSZIP decoder (L2 codec): RFC1951 inflate inside 'CK' frames.
 
-Semantics (reference: libmspack/mspack/mszipd.c, mszip.h):
+Format semantics (reference: libmspack/mspack/mszipd.c, mszip.h):
 
-* LSB-first bitstream; 32 KiB window == frame size.
-* Each frame starts at a byte-aligned 'CK' signature which is *scanned*
-  for (bad bytes before it are skipped) — mszipd.c:407-414.
-* The window SURVIVES across frames: window_posn resets to 0 but match
-  distances greater than the current position wrap into the previous
-  frame's data (mszipd.c:264-268). This is what distinguishes MSZIP
-  from independent per-block deflate.
-* repair mode ("FIXMSZIP") zero-fills a failed frame and continues.
-* KWAJ variant: frames are prefixed with a 16-bit block length instead
-  of scanning, and end when that length is 0 (mszipd.c:462-495).
+* LSB-first bitstream; 32 KiB frames, each starting at a byte-aligned
+  'CK' signature which is *scanned* for (mszipd.c:407-414).
+* History survives across frames: match distances may reach into the
+  previous frame's bytes. This distinguishes MSZIP from independent
+  per-block deflate.
+* Repair mode ("FIXMSZIP") zero-fills a failed frame and continues.
+* KWAJ variant: frames carry a 16-bit length prefix instead of being
+  scanned, and the stream ends at a zero length (mszipd.c:462-495).
 
-Scalar correctness implementation; the batched TPU two-phase path lives
-in libmspack_tpu.ops.inflate_jax.
+Architecture: unlike the reference's pull-streaming inner loop, this
+decoder uses the framework's engine shape (shared with the native C++
+and device pipelines): **phase A** tokenises a whole deflate stream
+into a flat command list + literal staging buffer, **phase B** replays
+the commands into a linear history buffer using overlap-safe slice
+copies. Commands are (literal_run, copy_len, copy_dist) triples — the
+canonical LZ command form — so phase B never branches per byte.
 """
 from __future__ import annotations
 
@@ -44,6 +47,47 @@ FIXED_LITERAL_LENS = bytes([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
 FIXED_DISTANCE_LENS = bytes([5] * 32)
 
 
+def lz_fill(history: bytearray, cursor: int, dist: int, n: int) -> None:
+    """Overlap-safe copy of n bytes from `dist` back onto `cursor`
+    (pattern doubling when dist < n). The framework's shared phase-B
+    copy primitive."""
+    src = cursor - dist
+    if dist >= n:
+        history[cursor : cursor + n] = history[src : src + n]
+        return
+    history[cursor : cursor + dist] = history[src : cursor]
+    filled = dist
+    while filled < n:
+        take = min(filled, n - filled)
+        history[cursor + filled : cursor + filled + take] = \
+            history[cursor : cursor + take]
+        filled += take
+
+
+def replay_commands(history: bytearray, cursor: int, commands, staging,
+                    limit: int) -> int:
+    """Phase B: apply LZ commands to `history` starting at `cursor`.
+
+    Each command is (literal_run, copy_len, copy_dist); literal bytes
+    come sequentially from `staging`. Copies are overlap-safe slice
+    fills. Raises DecrunchError if output would pass `limit`. Returns
+    the new cursor.
+    """
+    staged = 0
+    for lit_run, copy_len, dist in commands:
+        if cursor + lit_run + copy_len > limit:
+            raise DecrunchError("frame overflow")
+        if lit_run:
+            history[cursor : cursor + lit_run] = \
+                staging[staged : staged + lit_run]
+            staged += lit_run
+            cursor += lit_run
+        if copy_len:
+            lz_fill(history, cursor, dist, copy_len)
+            cursor += copy_len
+    return cursor
+
+
 class MszipDecompressor:
     """Streaming MSZIP decoder over a read(n)->bytes input callable."""
 
@@ -51,165 +95,166 @@ class MszipDecompressor:
                  repair_mode: bool = False, message=None):
         input_buffer_size = max(2, (input_buffer_size + 1) & -2)
         self.bits = LSBBitReader(ByteFeed(read_fn, chunk=input_buffer_size))
-        self.window = bytearray(FRAME_SIZE)
-        self.window_posn = 0
-        self.bytes_output = 0
+        # linear history: one frame of back-reference reach + the
+        # frame being decoded. The tail is slid down between frames.
+        self.history = bytearray(2 * FRAME_SIZE)
         self.repair_mode = repair_mode
         self.message = message or (lambda s: None)
         self._pending = b""  # decoded bytes not yet handed to the caller
         self.error: MSPackError | None = None
-        self.literal_lens = bytearray(LITERAL_MAXSYMBOLS)
-        self.distance_lens = bytearray(DISTANCE_MAXSYMBOLS)
 
-    # -- deflate stream parsing ------------------------------------------
+    # -- phase A: deflate stream -> command list ---------------------------
 
-    def _read_dynamic_lens(self) -> None:
+    def _read_dynamic_lens(self):
+        """Parse a dynamic-block header into (lit_lens, dist_lens)."""
         bits = self.bits
-        lit_codes = bits.read(5) + 257
-        dist_codes = bits.read(5) + 1
-        bitlen_codes = bits.read(4) + 4
-        if lit_codes > LITERAL_MAXSYMBOLS or dist_codes > DISTANCE_MAXSYMBOLS:
+        nlit = bits.read(5) + 257
+        ndist = bits.read(5) + 1
+        npre = bits.read(4) + 4
+        if nlit > LITERAL_MAXSYMBOLS or ndist > DISTANCE_MAXSYMBOLS:
             raise DecrunchError("too many symbols in dynamic header")
 
-        bl_len = bytearray(19)
-        for i in range(bitlen_codes):
-            bl_len[BITLEN_ORDER[i]] = bits.read(3)
-        bl = HuffTable(19, 7, bl_len, lsb=True)
+        pre_lens = bytearray(19)
+        for i in range(npre):
+            pre_lens[BITLEN_ORDER[i]] = bits.read(3)
+        pre = HuffTable(19, 7, pre_lens, lsb=True)
 
-        total = lit_codes + dist_codes
-        lens = bytearray(total)
-        last_code = 0
-        i = 0
-        while i < total:
-            # single-level lookup (max bitlen code is 7 bits)
-            bits.ensure(7)
-            code = bl.table[bits.peek(7)]
-            bits.remove(bl_len[code])
-            if code < 16:
-                lens[i] = last_code = code
-                i += 1
+        lens = bytearray(nlit + ndist)
+        fill_pos = 0
+        prev = 0
+        while fill_pos < len(lens):
+            sym = pre.decode(bits)
+            if sym < 16:
+                lens[fill_pos] = prev = sym
+                fill_pos += 1
                 continue
-            if code == 16:
-                run = bits.read(2) + 3
-                fill = last_code
-            elif code == 17:
-                run = bits.read(3) + 3
-                fill = 0
-            elif code == 18:
-                run = bits.read(7) + 11
-                fill = 0
+            if sym == 16:
+                run, value = bits.read(2) + 3, prev
+            elif sym == 17:
+                run, value = bits.read(3) + 3, 0
+            elif sym == 18:
+                run, value = bits.read(7) + 11, 0
             else:
-                raise DecrunchError(f"invalid bit-length code {code}")
-            if i + run > total:
+                raise DecrunchError(f"invalid bit-length code {sym}")
+            if fill_pos + run > len(lens):
                 raise DecrunchError("bitlen RLE overruns table")
-            lens[i : i + run] = bytes([fill]) * run
-            i += run
+            lens[fill_pos : fill_pos + run] = bytes([value]) * run
+            fill_pos += run
 
-        self.literal_lens[:] = bytes(LITERAL_MAXSYMBOLS)
-        self.literal_lens[:lit_codes] = lens[:lit_codes]
-        self.distance_lens[:] = bytes(DISTANCE_MAXSYMBOLS)
-        self.distance_lens[: dist_codes] = lens[lit_codes:]
+        lit_lens = bytes(lens[:nlit]) + bytes(LITERAL_MAXSYMBOLS - nlit)
+        dist_lens = bytes(lens[nlit:]) + bytes(DISTANCE_MAXSYMBOLS - ndist)
+        return lit_lens, dist_lens
 
-    def _inflate(self) -> None:
-        """Decode one complete deflate stream into the window."""
+    def _tokenize_huff_block(self, lit: HuffTable, dist: HuffTable,
+                             commands: list, staging: bytearray) -> None:
+        """Decode one Huffman-coded block into commands + staging."""
         bits = self.bits
+        append_lit = staging.append
+        emit = commands.append
+        lit_run = 0
         while True:
-            last_block = bits.read(1)
-            block_type = bits.read(2)
+            sym = lit.decode(bits)
+            if sym < 256:
+                append_lit(sym)
+                lit_run += 1
+                continue
+            if sym == 256:
+                if lit_run:
+                    emit((lit_run, 0, 0))
+                return
+            slot = sym - 257
+            if slot >= 29:
+                raise DecrunchError("out-of-range literal code")
+            extra = LIT_EXTRABITS[slot]
+            copy_len = LIT_LENGTHS[slot] + (bits.read(extra) if extra else 0)
+            dslot = dist.decode(bits)
+            if dslot >= 30:
+                raise DecrunchError("out-of-range distance code")
+            extra = DIST_EXTRABITS[dslot]
+            copy_dist = DIST_OFFSETS[dslot] + \
+                (bits.read(extra) if extra else 0)
+            emit((lit_run, copy_len, copy_dist))
+            lit_run = 0
 
-            if block_type == 0:
-                # stored block: align, 16-bit length + complement
-                bits.align_byte()
-                lens_buf = bytearray()
-                while bits.bits_left >= 8:
-                    if len(lens_buf) == 4:
-                        raise DecrunchError("too many bits in bit buffer")
-                    lens_buf.append(bits.peek(8))
-                    bits.remove(8)
-                if bits.bits_left != 0:
-                    raise DecrunchError("unaligned bit buffer")
-                while len(lens_buf) < 4:
-                    lens_buf.append(bits.feed.next_byte())
-                length = lens_buf[0] | (lens_buf[1] << 8)
-                comp = lens_buf[2] | (lens_buf[3] << 8)
-                if length != (~comp & 0xFFFF):
-                    raise DecrunchError("stored block length complement mismatch")
-                while length > 0:
-                    chunk = bits.feed.next_bytes(
-                        min(length, FRAME_SIZE - self.window_posn))
-                    if not chunk:
-                        raise ReadError("EOF in stored block")
-                    self.window[self.window_posn : self.window_posn + len(chunk)] = chunk
-                    self.window_posn += len(chunk)
-                    length -= len(chunk)
-                    self._flush_if_full()
-            elif block_type in (1, 2):
-                if block_type == 1:
-                    self.literal_lens[:] = FIXED_LITERAL_LENS
-                    self.distance_lens[:] = FIXED_DISTANCE_LENS
+    def _tokenize_stored_block(self, commands: list,
+                               staging: bytearray) -> None:
+        """Stored block: realign, length check, raw bytes to staging."""
+        bits = self.bits
+        bits.align_byte()
+        header = bytearray()
+        while bits.bits_left >= 8:
+            if len(header) == 4:
+                raise DecrunchError("too many bits in bit buffer")
+            header.append(bits.peek(8))
+            bits.remove(8)
+        if bits.bits_left != 0:
+            raise DecrunchError("unaligned bit buffer")
+        while len(header) < 4:
+            header.append(bits.feed.next_byte())
+        length = header[0] | (header[1] << 8)
+        if length != (~(header[2] | (header[3] << 8)) & 0xFFFF):
+            raise DecrunchError("stored block length complement mismatch")
+        taken = 0
+        while taken < length:
+            chunk = bits.feed.next_bytes(length - taken)
+            if not chunk:
+                raise ReadError("EOF in stored block")
+            staging.extend(chunk)
+            taken += len(chunk)
+        if length:
+            commands.append((length, 0, 0))
+
+    # -- frame assembly -----------------------------------------------------
+
+    def _decode_frame(self) -> int:
+        """Decode one complete deflate stream into history[FRAME_SIZE:].
+
+        Returns the number of bytes produced (<= FRAME_SIZE). On error,
+        whatever was produced before the failure is already in place
+        (needed by repair mode); the exception carries a `produced`
+        attribute with that count.
+        """
+        bits = self.bits
+        cursor = FRAME_SIZE
+        limit = 2 * FRAME_SIZE
+        try:
+            while True:
+                final = bits.read(1)
+                kind = bits.read(2)
+                commands: list = []
+                staging = bytearray()
+                if kind == 0:
+                    self._tokenize_stored_block(commands, staging)
+                elif kind == 1:
+                    lit = HuffTable(LITERAL_MAXSYMBOLS, LITERAL_TABLEBITS,
+                                    FIXED_LITERAL_LENS, lsb=True)
+                    dist = HuffTable(DISTANCE_MAXSYMBOLS, DISTANCE_TABLEBITS,
+                                     FIXED_DISTANCE_LENS, lsb=True)
+                    self._tokenize_huff_block(lit, dist, commands, staging)
+                elif kind == 2:
+                    lit_lens, dist_lens = self._read_dynamic_lens()
+                    lit = HuffTable(LITERAL_MAXSYMBOLS, LITERAL_TABLEBITS,
+                                    lit_lens, lsb=True)
+                    dist = HuffTable(DISTANCE_MAXSYMBOLS, DISTANCE_TABLEBITS,
+                                     dist_lens, lsb=True)
+                    self._tokenize_huff_block(lit, dist, commands, staging)
                 else:
-                    self._read_dynamic_lens()
-                lit = HuffTable(LITERAL_MAXSYMBOLS, LITERAL_TABLEBITS,
-                                self.literal_lens, lsb=True)
-                dist = HuffTable(DISTANCE_MAXSYMBOLS, DISTANCE_TABLEBITS,
-                                 self.distance_lens, lsb=True)
-                self._inflate_huff_block(lit, dist)
-            else:
-                raise DecrunchError(f"bad deflate block type {block_type}")
+                    raise DecrunchError(f"bad deflate block type {kind}")
+                cursor = replay_commands(self.history, cursor, commands,
+                                         staging, limit)
+                if final:
+                    return cursor - FRAME_SIZE
+        except (DecrunchError, DataFormatError, ReadError) as exc:
+            exc.produced = cursor - FRAME_SIZE  # type: ignore[attr-defined]
+            raise
 
-            if last_block:
-                break
-
-        if self.window_posn:
-            self.bytes_output += self.window_posn
-            if self.bytes_output > FRAME_SIZE:
-                raise DecrunchError("frame overflow")
-            self.window_posn = 0  # consumed into bytes_output
-
-    def _flush_if_full(self) -> None:
-        if self.window_posn == FRAME_SIZE:
-            self.bytes_output += FRAME_SIZE
-            if self.bytes_output > FRAME_SIZE:
-                raise DecrunchError("frame overflow")
-            self.window_posn = 0
-
-    def _inflate_huff_block(self, lit: HuffTable, dist: HuffTable) -> None:
-        bits = self.bits
-        window = self.window
-        posn = self.window_posn
-        while True:
-            code = lit.decode(bits)
-            if code < 256:
-                window[posn] = code
-                posn += 1
-                if posn == FRAME_SIZE:
-                    self.window_posn = posn
-                    self._flush_if_full()
-                    posn = self.window_posn
-            elif code == 256:
-                break
-            else:
-                code -= 257
-                if code >= 29:
-                    raise DecrunchError("out-of-range literal code")
-                length = LIT_LENGTHS[code] + bits.read(LIT_EXTRABITS[code]) \
-                    if LIT_EXTRABITS[code] else LIT_LENGTHS[code]
-                dcode = dist.decode(bits)
-                if dcode >= 30:
-                    raise DecrunchError("out-of-range distance code")
-                distance = DIST_OFFSETS[dcode] + (
-                    bits.read(DIST_EXTRABITS[dcode]) if DIST_EXTRABITS[dcode] else 0)
-                match_posn = ((FRAME_SIZE if distance > posn else 0)
-                              + posn - distance)
-                for _ in range(length):
-                    window[posn] = window[match_posn]
-                    posn += 1
-                    match_posn = (match_posn + 1) & (FRAME_SIZE - 1)
-                    if posn == FRAME_SIZE:
-                        self.window_posn = posn
-                        self._flush_if_full()
-                        posn = self.window_posn
-        self.window_posn = posn
+    def _slide(self, produced: int) -> bytes:
+        """Hand back the frame's bytes and slide history for the next."""
+        frame = bytes(self.history[FRAME_SIZE : FRAME_SIZE + produced])
+        if produced:
+            keep = self.history[produced : FRAME_SIZE + produced]
+            self.history[:FRAME_SIZE] = keep
+        return frame
 
     # -- public entry points ---------------------------------------------
 
@@ -226,44 +271,36 @@ class MszipDecompressor:
             write_fn(self._pending[:take])
             self._pending = self._pending[take:]
             out_bytes -= take
-        if out_bytes == 0:
-            return
 
         bits = self.bits
         while out_bytes > 0:
             # scan (byte-aligned) for the next 'CK' signature
             bits.align_byte()
-            state = 0
-            while state != 2:
-                i = bits.read(8)
-                if i == 0x43:        # 'C'
-                    state = 1
-                elif state == 1 and i == 0x4B:  # 'K'
-                    state = 2
-                else:
-                    state = 0
-
-            self.window_posn = 0
-            self.bytes_output = 0
+            seen_c = False
+            while True:
+                byte = bits.read(8)
+                if seen_c and byte == 0x4B:
+                    break
+                seen_c = byte == 0x43
             try:
-                self._inflate()
-            except (DecrunchError, DataFormatError) as e:
+                produced = self._decode_frame()
+            except (DecrunchError, DataFormatError) as exc:
                 if not self.repair_mode:
-                    self.error = DecrunchError(str(e))
-                    raise self.error
-                # salvage: keep whatever made it into the window, zero the rest
-                if self.bytes_output == 0 and self.window_posn > 0:
-                    self.bytes_output = self.window_posn
+                    self.error = DecrunchError(str(exc))
+                    raise self.error from exc
+                # salvage: keep what decoded, zero-fill the remainder
+                produced = getattr(exc, "produced", 0)
                 self.message("MSZIP error, %u bytes of data lost."
-                             % (FRAME_SIZE - self.bytes_output))
-                for i in range(self.bytes_output, FRAME_SIZE):
-                    self.window[i] = 0
-                self.bytes_output = FRAME_SIZE
+                             % (FRAME_SIZE - produced))
+                tail = self.history
+                for i in range(FRAME_SIZE + produced, 2 * FRAME_SIZE):
+                    tail[i] = 0
+                produced = FRAME_SIZE
 
-            produced = self.window[: self.bytes_output]
-            take = min(out_bytes, self.bytes_output)
-            write_fn(bytes(produced[:take]))
-            self._pending = bytes(produced[take:])
+            frame = self._slide(produced)
+            take = min(out_bytes, produced)
+            write_fn(frame[:take])
+            self._pending = frame[take:]
             out_bytes -= take
 
     def decompress_kwaj(self, write_fn) -> None:
@@ -271,13 +308,10 @@ class MszipDecompressor:
         bits = self.bits
         while True:
             bits.align_byte()
-            block_len = bits.read(8)
-            block_len |= bits.read(8) << 8
+            block_len = bits.read(8) | (bits.read(8) << 8)
             if block_len == 0:
                 break
             if bits.read(8) != 0x43 or bits.read(8) != 0x4B:
                 raise DataFormatError("missing CK signature in KWAJ block")
-            self.window_posn = 0
-            self.bytes_output = 0
-            self._inflate()
-            write_fn(bytes(self.window[: self.bytes_output]))
+            produced = self._decode_frame()
+            write_fn(self._slide(produced))

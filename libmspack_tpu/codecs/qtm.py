@@ -3,160 +3,190 @@
 Format semantics (reference: libmspack/mspack/qtmd.c, qtm.h):
 
 * MSB-first bitstream of 16-bit *big-endian* units (qtmd.c:30-35).
-* 16-bit H/L/C range coder with underflow handling; every decoded
-  symbol updates its model's cumulative frequencies (+8), with a
-  rescale + frequency re-sort once cumfreq[0] exceeds 3800.
-* 7-symbol selector model routes to: 4 positional literal models
+* 16-bit range coder with underflow handling; every decoded symbol
+  updates its model's cumulative frequencies (+8), with a rescale +
+  frequency re-sort once the total passes 3800.
+* A 7-symbol selector model routes to: 4 positional literal models
   (64 syms each) or 3 match shapes (len-3, len-4, variable length).
-* position/length slot tables like LZX but with 19-bit extras.
-* 32 KiB frames: at each frame end the stream re-aligns to a byte and
-  skips forward to a 0xFF trailer byte (CAB injects one per block) and
-  H/L/C are re-initialised from the stream.
-* window 1 KiB..2 MiB may be *smaller* than a frame; matches never
-  cross a frame boundary but output wraps the window.
+* Position/length slot tables like LZX but with 19-bit extras.
+* 32 KiB frames: at each frame end the stream re-aligns to a byte,
+  skips forward to a 0xFF trailer byte (CAB injects one per block),
+  and the range coder re-initialises from the stream.
+* Window 1 KiB..2 MiB may be *smaller* than a frame; matches never
+  cross a frame boundary but output wraps the window, forcing a flush
+  (a caller that hasn't consumed the previous lap is an error —
+  qtmd.c:356-380).
 
-The per-symbol model mutation makes this codec inherently sequential
-within a folder (SURVEY.md §7 hard part 3); parallelism comes from
-decoding many folders at once.
+Architecture: the adaptive model updates make Quantum inherently
+sequential within a folder (SURVEY.md §7 hard part 3); parallelism
+comes from decoding many folders at once. This implementation splits
+the codec into the framework's components — a `RangeDecoder` carrying
+the coder registers, `AdaptiveModel` objects owning their own search/
+update, and a *linear* sliding history buffer written with the shared
+overlap-safe `lz_fill` primitive — rather than the reference's fused
+macro loop over a ring window.
 """
 from __future__ import annotations
 
 from ..errors import ArgsError, DecrunchError, MSPackError
 from .bitstream import ByteFeed, MSBBitReader
+from .mszip import lz_fill
 
 FRAME_SIZE = 32768
 
-# position slots (qtmd.c:52-64): extra_bits[i] = max(0, i-2)>>1, bases cumulative
+# position slots (qtmd.c:52-64): extra_bits[i] = max(0, i-2)>>1
 EXTRA_BITS = tuple((0 if i < 2 else i - 2) >> 1 for i in range(42))
-_pb = []
-_off = 0
-for _i in range(42):
-    _pb.append(_off)
-    _off += 1 << EXTRA_BITS[_i]
-POSITION_BASE = tuple(_pb)
 
+
+def _cumulative_bases(extras):
+    bases, offset = [], 0
+    for eb in extras:
+        bases.append(offset)
+        offset += 1 << eb
+    return tuple(bases)
+
+
+POSITION_BASE = _cumulative_bases(EXTRA_BITS)
 LENGTH_EXTRA = tuple(((0 if i < 2 else i - 2) >> 2) for i in range(26)) + (0,)
-_lb = []
-_off = 0
-for _i in range(27):
-    _lb.append(_off)
-    _off += 1 << (((0 if _i < 2 else _i - 2) >> 2))
-LENGTH_BASE = tuple(_lb[:26] + [254])
-del _pb, _lb, _off, _i
+LENGTH_BASE = _cumulative_bases(LENGTH_EXTRA[:26]) + (254,)
 
 
-class _Model:
-    """One adaptive arithmetic model: parallel sym/cumfreq arrays with a
-    sentinel entry (cumfreq 0) at the end."""
+class RangeDecoder:
+    """The 16-bit arithmetic coder registers + renormalisation.
 
-    __slots__ = ("entries", "shiftsleft", "syms", "cumfreq")
+    Reference: qtmd.c:92-123 (GET_SYMBOL's coder half) and the H/L/C
+    init at each frame start (qtmd.c:430-442).
+    """
+
+    __slots__ = ("lo", "hi", "code", "bits")
+
+    def __init__(self, bits: MSBBitReader):
+        self.bits = bits
+        self.lo = 0
+        self.hi = 0xFFFF
+        self.code = 0
+
+    def begin_frame(self) -> None:
+        self.lo = 0
+        self.hi = 0xFFFF
+        self.code = self.bits.read(16)
+
+    def frequency(self, total: int) -> int:
+        """Map the current code point to a cumulative frequency."""
+        span = ((self.hi - self.lo) & 0xFFFF) + 1
+        return ((((self.code - self.lo + 1) * total) - 1) // span) & 0xFFFF
+
+    def narrow(self, cum_hi: int, cum_lo: int, total: int) -> None:
+        """Narrow the interval to [cum_lo, cum_hi) / total, renormalise."""
+        span = (self.hi - self.lo) + 1
+        self.hi = (self.lo + (cum_hi * span) // total - 1) & 0xFFFF
+        self.lo = (self.lo + (cum_lo * span) // total) & 0xFFFF
+
+        lo, hi, code = self.lo, self.hi, self.code
+        read = self.bits.read
+        while True:
+            if (lo & 0x8000) != (hi & 0x8000):
+                if (lo & 0x4000) and not (hi & 0x4000):
+                    # underflow: shift out the 2nd-highest bit
+                    code ^= 0x4000
+                    lo &= 0x3FFF
+                    hi |= 0x4000
+                else:
+                    break
+            lo = (lo << 1) & 0xFFFF
+            hi = ((hi << 1) | 1) & 0xFFFF
+            code = ((code << 1) | read(1)) & 0xFFFF
+        self.lo, self.hi, self.code = lo, hi, code
+
+
+class AdaptiveModel:
+    """One adaptive model: symbol/cumfreq arrays with a 0-sentinel.
+
+    Owns both the cumulative-frequency search and the per-decode
+    update (+8 / rescale / frequency re-sort — qtmd.c:106-166).
+    """
+
+    __slots__ = ("entries", "rescales_left", "syms", "cumfreq")
 
     def __init__(self, start: int, length: int):
-        self.shiftsleft = 4
+        self.rescales_left = 4
         self.entries = length
         self.syms = [start + i for i in range(length + 1)]
         self.cumfreq = [length - i for i in range(length + 1)]
 
+    def decode(self, coder: RangeDecoder) -> int:
+        cf = self.cumfreq
+        target = coder.frequency(cf[0])
+        pick = 1
+        n = self.entries
+        while pick < n and cf[pick] > target:
+            pick += 1
+        sym = self.syms[pick - 1]
+        coder.narrow(cf[pick - 1], cf[pick], cf[0])
+
+        for j in range(pick):
+            cf[j] += 8
+        if cf[0] > 3800:
+            self.update()
+        return sym
+
     def update(self) -> None:
-        """Rescale / re-sort (reference: qtmd.c:125-166)."""
-        self.shiftsleft -= 1
+        """Halve frequencies; every 5th time re-sort symbols by count."""
+        self.rescales_left -= 1
         n = self.entries
         cf = self.cumfreq
-        if self.shiftsleft:
+        if self.rescales_left:
             for i in range(n - 1, -1, -1):
                 cf[i] >>= 1
                 if cf[i] <= cf[i + 1]:
                     cf[i] = cf[i + 1] + 1
-        else:
-            self.shiftsleft = 50
-            for i in range(n):
-                cf[i] -= cf[i + 1]
-                cf[i] += 1
-                cf[i] >>= 1
-            # in-place selection sort by frequency, decreasing
-            syms = self.syms
-            for i in range(n - 1):
-                for j in range(i + 1, n):
-                    if cf[i] < cf[j]:
-                        cf[i], cf[j] = cf[j], cf[i]
-                        syms[i], syms[j] = syms[j], syms[i]
-            for i in range(n - 1, -1, -1):
-                cf[i] += cf[i + 1]
+            return
+        # every 5th rescale: convert to plain counts, halve, re-sort
+        self.rescales_left = 50
+        for i in range(n):
+            cf[i] = ((cf[i] - cf[i + 1]) + 1) >> 1
+        syms = self.syms
+        for i in range(n - 1):
+            for j in range(i + 1, n):
+                if cf[i] < cf[j]:
+                    cf[i], cf[j] = cf[j], cf[i]
+                    syms[i], syms[j] = syms[j], syms[i]
+        for i in range(n - 1, -1, -1):
+            cf[i] += cf[i + 1]
 
 
 class QtmDecompressor:
     """Streaming Quantum decoder over a read(n)->bytes input callable."""
 
-    def __init__(self, read_fn, window_bits: int, input_buffer_size: int = 4096):
+    def __init__(self, read_fn, window_bits: int,
+                 input_buffer_size: int = 4096):
         if not (10 <= window_bits <= 21):
             raise ArgsError("Quantum window must be 2^10..2^21")
-        self.bits = MSBBitReader(ByteFeed(read_fn, chunk=max(2, input_buffer_size)),
-                                 unit_order="be")
+        self.bits = MSBBitReader(
+            ByteFeed(read_fn, chunk=max(2, input_buffer_size)),
+            unit_order="be")
         self.window_size = 1 << window_bits
-        self.window = bytearray(self.window_size)
-        self.window_posn = 0
+        # linear history: one window of virtual pre-stream (zeros),
+        # then decoded bytes; slid as both delivery and match reach
+        # move past old data.
+        self.history = bytearray(self.window_size)
+        self.origin = -self.window_size  # abs position of history[0]
+        self.cursor = 0        # abs position decoded
+        self.served = 0        # abs position delivered to the caller
+        self.flushable = 0     # abs position available for delivery
         self.frame_todo = FRAME_SIZE
-        self.header_read = False
+        self.at_frame_start = True
         self.error: MSPackError | None = None
-        self.H = 0
-        self.L = 0
-        self.C = 0
-        self._o_ptr = 0   # window index of first undelivered byte
-        self._o_end = 0   # window index past last decoded byte
+        self.coder = RangeDecoder(self.bits)
 
-        i = window_bits * 2
-        self.model0 = _Model(0, 64)
-        self.model1 = _Model(64, 64)
-        self.model2 = _Model(128, 64)
-        self.model3 = _Model(192, 64)
-        self.model4 = _Model(0, min(i, 24))
-        self.model5 = _Model(0, min(i, 36))
-        self.model6 = _Model(0, i)
-        self.model6len = _Model(0, 27)
-        self.model7 = _Model(0, 7)
-
-    # ------------------------------------------------------------------
-
-    def _get_symbol(self, model: _Model) -> int:
-        """GET_SYMBOL (reference: qtmd.c:92-123)."""
-        H, L, C = self.H, self.L, self.C
-        cf = model.cumfreq
-        rng = ((H - L) & 0xFFFF) + 1
-        symf = ((((C - L + 1) * cf[0]) - 1) // rng) & 0xFFFF
-
-        i = 1
-        n = model.entries
-        while i < n:
-            if cf[i] <= symf:
-                break
-            i += 1
-        sym = model.syms[i - 1]
-
-        rng = (H - L) + 1
-        symf = cf[0]
-        H = (L + (cf[i - 1] * rng) // symf - 1) & 0xFFFF
-        L = (L + (cf[i] * rng) // symf) & 0xFFFF
-
-        for j in range(i - 1, -1, -1):
-            cf[j] += 8
-        if cf[0] > 3800:
-            model.update()
-
-        bits = self.bits
-        while True:
-            if (L & 0x8000) != (H & 0x8000):
-                if (L & 0x4000) and not (H & 0x4000):
-                    C ^= 0x4000
-                    L &= 0x3FFF
-                    H |= 0x4000
-                else:
-                    break
-            L = (L << 1) & 0xFFFF
-            H = ((H << 1) | 1) & 0xFFFF
-            C = ((C << 1) | bits.read(1)) & 0xFFFF
-
-        self.H, self.L, self.C = H, L, C
-        return sym
+        literal_span = window_bits * 2
+        self.literal_models = tuple(
+            AdaptiveModel(base, 64) for base in (0, 64, 128, 192))
+        self.match3_model = AdaptiveModel(0, min(literal_span, 24))
+        self.match4_model = AdaptiveModel(0, min(literal_span, 36))
+        self.matchv_model = AdaptiveModel(0, literal_span)
+        self.matchv_len_model = AdaptiveModel(0, 27)
+        self.selector_model = AdaptiveModel(0, 7)
 
     # ------------------------------------------------------------------
 
@@ -167,160 +197,159 @@ class QtmDecompressor:
             raise ArgsError("negative out_bytes")
         try:
             self._decompress(out_bytes, write_fn)
-        except MSPackError as e:
-            self.error = e
+        except MSPackError as exc:
+            self.error = exc
             raise
 
-    def _fail(self, msg: str):
-        raise DecrunchError(msg)
+    def _deliver(self, upto: int, write_fn) -> int:
+        """Write history[served:upto] to the caller; returns count."""
+        lo = self.served - self.origin
+        hi = upto - self.origin
+        if hi > lo:
+            write_fn(bytes(self.history[lo:hi]))
+            self.served = upto
+        return max(0, hi - lo)
+
+    def _grow(self, n: int) -> None:
+        need = (self.cursor - self.origin) + n - len(self.history)
+        if need > 0:
+            self.history.extend(bytes(need))
+
+    def _match_copy(self, offset: int, length: int) -> None:
+        """Copy `length` bytes from ring offset `offset`, in linear
+        history coordinates (see lzx.py for the ring->linear mapping).
+        """
+        wsize = self.window_size
+        lap_pos = self.cursor % wsize
+        self._grow(length)
+        rel = self.cursor - self.origin
+        if offset > lap_pos:
+            if (offset - lap_pos) > wsize:
+                raise DecrunchError("match offset beyond window boundaries")
+            if offset > wsize:
+                # ring aliasing: tail region already overwritten this lap
+                first = min(length, offset - lap_pos)
+                lz_fill(self.history, rel, offset - wsize, first)
+                if length > first:
+                    lz_fill(self.history, rel + first, offset,
+                            length - first)
+                self.cursor += length
+                return
+        lz_fill(self.history, rel, offset, length)
+        self.cursor += length
+
+    def _slide(self) -> None:
+        """Drop history bytes that are both delivered and out of match
+        reach; amortised so slicing is rare."""
+        wsize = self.window_size
+        droppable = min(self.served, self.cursor - wsize) - self.origin
+        if droppable > 2 * wsize:
+            del self.history[:droppable]
+            self.origin += droppable
 
     def _decompress(self, out_bytes: int, write_fn) -> None:
         bits = self.bits
-        window = self.window
         wsize = self.window_size
 
         # flush stored-up bytes
-        avail = self._o_end - self._o_ptr
-        take = min(avail, out_bytes)
-        if take:
-            write_fn(bytes(window[self._o_ptr : self._o_ptr + take]))
-            self._o_ptr += take
+        take = min(self.flushable - self.served, out_bytes)
+        if take > 0:
+            self._deliver(self.served + take, write_fn)
             out_bytes -= take
         if out_bytes == 0:
             return
 
-        window_posn = self.window_posn
-        frame_todo = self.frame_todo
+        coder = self.coder
+        sel_model = self.selector_model
 
-        while (self._o_end - self._o_ptr) < out_bytes:
-            if not self.header_read:
-                self.H = 0xFFFF
-                self.L = 0
-                self.C = bits.read(16)
-                self.header_read = True
+        while (self.flushable - self.served) < out_bytes:
+            if self.at_frame_start:
+                coder.begin_frame()
+                self.at_frame_start = False
 
-            frame_end = window_posn + (out_bytes - (self._o_end - self._o_ptr))
-            if (window_posn + frame_todo) < frame_end:
-                frame_end = window_posn + frame_todo
-            if frame_end > wsize:
-                frame_end = wsize
+            # decode until the frame ends, the window laps, or we have
+            # enough bytes for the caller
+            lap_end = self.cursor - (self.cursor % wsize) + wsize
+            stop = min(self.cursor + self.frame_todo, lap_end,
+                       self.served + out_bytes)
+            wrap_flushed = False
 
-            while window_posn < frame_end:
-                selector = self._get_symbol(self.model7)
+            while self.cursor < stop:
+                selector = sel_model.decode(coder)
                 if selector < 4:
-                    mdl = (self.model0, self.model1,
-                           self.model2, self.model3)[selector]
-                    sym = self._get_symbol(mdl)
-                    window[window_posn] = sym
-                    window_posn += 1
-                    frame_todo -= 1
+                    byte = self.literal_models[selector].decode(coder)
+                    self._grow(1)
+                    self.history[self.cursor - self.origin] = byte
+                    self.cursor += 1
+                    self.frame_todo -= 1
                     continue
 
                 if selector == 4:
-                    sym = self._get_symbol(self.model4)
-                    extra = bits.read_many(EXTRA_BITS[sym])
-                    match_offset = POSITION_BASE[sym] + extra + 1
-                    match_length = 3
+                    slot = self.match3_model.decode(coder)
+                    extra = bits.read_many(EXTRA_BITS[slot])
+                    offset = POSITION_BASE[slot] + extra + 1
+                    length = 3
                 elif selector == 5:
-                    sym = self._get_symbol(self.model5)
-                    extra = bits.read_many(EXTRA_BITS[sym])
-                    match_offset = POSITION_BASE[sym] + extra + 1
-                    match_length = 4
+                    slot = self.match4_model.decode(coder)
+                    extra = bits.read_many(EXTRA_BITS[slot])
+                    offset = POSITION_BASE[slot] + extra + 1
+                    length = 4
                 elif selector == 6:
-                    sym = self._get_symbol(self.model6len)
-                    extra = bits.read_many(LENGTH_EXTRA[sym])
-                    match_length = LENGTH_BASE[sym] + extra + 5
-                    sym = self._get_symbol(self.model6)
-                    extra = bits.read_many(EXTRA_BITS[sym])
-                    match_offset = POSITION_BASE[sym] + extra + 1
+                    slot = self.matchv_len_model.decode(coder)
+                    extra = bits.read_many(LENGTH_EXTRA[slot])
+                    length = LENGTH_BASE[slot] + extra + 5
+                    slot = self.matchv_model.decode(coder)
+                    extra = bits.read_many(EXTRA_BITS[slot])
+                    offset = POSITION_BASE[slot] + extra + 1
                 else:
-                    self._fail(f"bad selector {selector}")
+                    raise DecrunchError(f"bad selector {selector}")
 
-                rundest = window_posn
-                frame_todo -= match_length
+                self.frame_todo -= length
 
-                if window_posn + match_length > wsize:
-                    # match wraps the window (window < frame size case)
-                    i = wsize - window_posn
-                    j = window_posn - match_offset
-                    while i > 0:
-                        window[rundest] = window[j & (wsize - 1)]
-                        rundest += 1
-                        j += 1
-                        i -= 1
-                    # flush everything up to the window end
-                    i = wsize - self._o_ptr
-                    if i > out_bytes:
-                        self._fail("window-wrap flush larger than request")
-                    write_fn(bytes(window[self._o_ptr : wsize]))
-                    out_bytes -= i
-                    self._o_ptr = 0
-                    self._o_end = 0
-                    rundest = 0
-                    i = match_length - (wsize - window_posn)
-                    while i > 0:
-                        window[rundest] = window[j & (wsize - 1)]
-                        rundest += 1
-                        j += 1
-                        i -= 1
-                    window_posn = window_posn + match_length - wsize
-                    break  # window_posn < frame_end now false
-                else:
-                    i = match_length
-                    if match_offset > window_posn:
-                        j = match_offset - window_posn
-                        if j > wsize:
-                            self._fail("match offset beyond window boundaries")
-                        runsrc = wsize - j
-                        if j < i:
-                            i -= j
-                            while j > 0:
-                                window[rundest] = window[runsrc]
-                                rundest += 1
-                                runsrc += 1
-                                j -= 1
-                            runsrc = 0
-                        while i > 0:
-                            window[rundest] = window[runsrc]
-                            rundest += 1
-                            runsrc += 1
-                            i -= 1
-                    else:
-                        runsrc = rundest - match_offset
-                        while i > 0:
-                            window[rundest] = window[runsrc]
-                            rundest += 1
-                            runsrc += 1
-                            i -= 1
-                    window_posn += match_length
+                if (self.cursor % wsize) + length > wsize:
+                    # match destination wraps the window (window < frame
+                    # size): the whole lap must be flushed mid-match; a
+                    # caller that hasn't asked for that much is an error
+                    # (qtmd.c:356-380)
+                    self._match_copy(offset, length)
+                    pending = lap_end - self.served
+                    if pending > out_bytes:
+                        raise DecrunchError(
+                            "window-wrap flush larger than request")
+                    self._deliver(lap_end, write_fn)
+                    out_bytes -= pending
+                    wrap_flushed = True
+                    break
+                self._match_copy(offset, length)
 
-            self._o_end = window_posn
+            # everything decoded so far is deliverable (qtmd.c sets
+            # o_end after the symbol loop, wrap case included)
+            self.flushable = self.cursor
 
-            if frame_todo > FRAME_SIZE or frame_todo < 0:
-                self._fail("overshot frame alignment")
+            if self.frame_todo > FRAME_SIZE or self.frame_todo < 0:
+                raise DecrunchError("overshot frame alignment")
 
-            if frame_todo == 0:
-                # realign to byte, scan for the 0xFF trailer
+            if self.frame_todo == 0:
+                # realign to a byte, scan for the 0xFF trailer
                 if bits.bits_left & 7:
                     bits.remove(bits.bits_left & 7)
                 while bits.read(8) != 0xFF:
                     pass
-                self.header_read = False
-                frame_todo = FRAME_SIZE
+                self.at_frame_start = True
+                self.frame_todo = FRAME_SIZE
 
-            if window_posn == wsize:
-                avail = self._o_end - self._o_ptr
+            if not wrap_flushed and self.cursor == lap_end:
+                avail = self.flushable - self.served
                 if avail >= out_bytes:
                     break
-                write_fn(bytes(window[self._o_ptr : self._o_end]))
-                out_bytes -= avail
-                self._o_ptr = 0
-                self._o_end = 0
-                window_posn = 0
+                out_bytes -= self._deliver(self.flushable, write_fn)
+
+            self._slide()
 
         if out_bytes:
-            write_fn(bytes(window[self._o_ptr : self._o_ptr + out_bytes]))
-            self._o_ptr += out_bytes
+            self._deliver(self.served + out_bytes, write_fn)
+        self._slide()
 
-        self.window_posn = window_posn
-        self.frame_todo = frame_todo
+
+# compatibility alias for the Quantum encoder (compress/qtm_e.py)
+_Model = AdaptiveModel
