@@ -16,8 +16,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def warmup():
+    """First D2H after a worker crash reports UNAVAILABLE once; retry."""
     import numpy as np
-    np.asarray(jnp.arange(128) + 1)
+    for attempt in range(4):
+        try:
+            np.asarray(jnp.arange(128) + 1)
+            return
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(20)
 
 
 def fetch(x) -> float:

@@ -29,14 +29,15 @@ def make_resolver(NT):
             col = pos % V
             a = ref[pl.ds(row, 1), :]
             b = ref[pl.ds(row + 1, 1), :]
-            ar = pltpu.roll(a, -col, 1)
-            br = pltpu.roll(b, -col, 1)
+            back = (V - col) % V
+            ar = pltpu.roll(a, back, 1)
+            br = pltpu.roll(b, back, 1)
             return jnp.where(idx < V - col, ar, br)
 
         def write2(ref, pos, val, n):
             row = pos // V
             col = pos % V
-            vr = pltpu.roll(val, col, 1)
+            vr = pltpu.roll(val, col % V, 1)
             mask0 = (idx >= col) & (idx < col + n)
             a = ref[pl.ds(row, 1), :]
             ref[pl.ds(row, 1), :] = jnp.where(mask0, vr, a)
@@ -49,25 +50,41 @@ def make_resolver(NT):
             kind = tok_ref[t, 0]
             ln = tok_ref[t, 1]
             dist = tok_ref[t, 2]
-            src = jnp.where(kind == 0, lsrc, dst - dist)
 
-            def lit_case():
-                write2(out_ref, dst, read2(lit_ref, lsrc), ln)
+            @pl.when(kind == 0)
+            def _():
+                # literal runs: linear source, chunk by V
+                def lit_chunk(state):
+                    cur, rem = state
+                    c = jnp.minimum(rem, V)
+                    write2(out_ref, cur, read2(lit_ref, lsrc + cur - dst), c)
+                    return cur + c, rem - c
+                jax.lax.while_loop(lambda s: s[1] > 0, lit_chunk, (dst, ln))
 
-            def match_case():
-                write2(out_ref, dst, read2(out_ref, src), ln)
+            @pl.when(kind != 0)
+            def _():
+                # match: overlap-safe doubling (chunk <= available span)
+                def m_chunk(state):
+                    cur, rem, avail = state
+                    c = jnp.minimum(jnp.minimum(rem, V), avail)
+                    write2(out_ref, cur, read2(out_ref, cur - avail), c)
+                    return cur + c, rem - c, avail + c
+                jax.lax.while_loop(lambda s: s[1] > 0, m_chunk,
+                                   (dst, ln, dist))
 
-            jax.lax.cond(kind == 0, lit_case, match_case)
             return (dst + ln, jnp.where(kind == 0, lsrc + ln, lsrc))
 
         dst, lsrc = jax.lax.fori_loop(
             0, NT, body, (seed_ref[0], jnp.int32(0)))
         sc_ref[0] = dst
 
+    interp = bool(int(os.environ.get("MC_INTERP", "0")))
+
     @jax.jit
     def run(seed, tok, lit):
         out, sc = pl.pallas_call(
             kernel,
+            interpret=interp,
             out_shape=(jax.ShapeDtypeStruct((ROWS + 2, V), jnp.int32),
                        jax.ShapeDtypeStruct((1,), jnp.int32)),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -103,6 +120,23 @@ def main():
     lit = jnp.asarray(rng.randint(0, 255, (FRAME // V + 2, V))
                       .astype(np.int32))
     run = make_resolver(NT)
+    # correctness: replay on host
+    win = np.zeros(FRAME + 512, np.int32)
+    lit_flat = np.asarray(lit).reshape(-1)
+    dstp = 0
+    lsrc = 0
+    for k, ln, d in toks:
+        if k == 0:
+            win[dstp : dstp + ln] = lit_flat[lsrc : lsrc + ln]
+            lsrc += ln
+        else:
+            for i in range(ln):
+                win[dstp + i] = win[dstp + i - d]
+        dstp += ln
+    out, sc = run(jnp.zeros((1,), jnp.int32), tok, lit)
+    got = np.asarray(out).reshape(-1)[:dstp]
+    print("correct:", np.array_equal(got, win[:dstp]),
+          "sc:", int(np.asarray(sc)[0]), dstp, flush=True)
     dt = devtime.time_chained(
         lambda s: run(s, tok, lit)[1], jnp.zeros((1,), jnp.int32), n=16)
     print(f"resolve: {NT} tokens ({out_bytes} B) per call: "
