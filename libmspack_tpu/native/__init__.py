@@ -59,6 +59,8 @@ def lib():
         _lib.msp_cab_pipeline.restype = ctypes.c_int
         _lib.msp_qtm_decode.restype = ctypes.c_int
         _lib.msp_qtm_encode.restype = ctypes.c_int64
+        _lib.msp_resolve_trace.restype = ctypes.c_int
+        _lib.msp_resolve_traces.restype = ctypes.c_int
     return _lib
 
 
@@ -417,3 +419,39 @@ def qtm_decode(stream: bytes, window_bits: int, out_len: int) -> bytes | None:
     if not qtm_decode_into(stream, len(stream), window_bits, out, out_len):
         return None
     return out[:out_len].tobytes()
+
+
+def resolve_traces(tok, litw, folder_lane0: list[int],
+                   folder_nframes: list[int], sizes: list[int],
+                   out, out_offsets: list[int],
+                   n_threads: int | None = None) -> int:
+    """Phase B for the TPU entropy kernel: resolve (lane, step) token
+    traces (ops/pallas_inflate.py format) into folder bytes.
+
+    tok/litw: contiguous int32 numpy arrays of shape (n_lanes, T)
+    (i.e. the device output transposed so each lane's trace is one
+    row). sizes is the flat per-frame output-size list, folder f's
+    frames at sizes[sum(folder_nframes[:f]):...]. out is a uint8 numpy
+    arena; out_offsets has n_folders+1 entries. Returns 0 on success.
+    """
+    import numpy as np
+    L = lib()
+    n_folders = len(folder_lane0)
+    l0 = (ctypes.c_int32 * n_folders)(*folder_lane0)
+    nf = (ctypes.c_int32 * n_folders)(*folder_nframes)
+    sz = (ctypes.c_uint32 * len(sizes))(*sizes)
+    soff = []
+    acc = 0
+    for n in folder_nframes:
+        soff.append(acc)
+        acc += n
+    soffs = (ctypes.c_int64 * n_folders)(*soff)
+    ooff = (ctypes.c_int64 * (n_folders + 1))(*out_offsets)
+    assert tok.dtype == np.int32 and tok.flags.c_contiguous
+    return L.msp_resolve_traces(
+        tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        litw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(tok.shape[1]), ctypes.c_int64(tok.shape[1]),
+        l0, nf, sz, soffs, n_folders,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ooff,
+        n_threads or default_threads())

@@ -1983,6 +1983,85 @@ int msp_mszip_folders(const uint8_t* const* frame_ptrs,
   return err.load();
 }
 
+// Phase B for the TPU entropy kernel: resolve per-lane token traces
+// (ops/pallas_inflate.py format: -1 NOP, 0x20000000|n literal pack of
+// n bytes in the litw plane, 0x40000000|len<<16|(dist-1) match) into a
+// folder's bytes. tok/litw are (n_lanes_total, T) row-major — lane l's
+// trace is the contiguous row l. Frames of the folder are lanes
+// [lane0, lane0+n_frames); history chains across frames.
+int msp_resolve_trace(const int32_t* tok, const int32_t* litw, int64_t T,
+                      int64_t lane_stride, int lane0, int n_frames,
+                      const uint32_t* sizes, uint8_t* out,
+                      uint64_t out_cap) {
+  uint64_t pos = 0;
+  for (int f = 0; f < n_frames; f++) {
+    const int32_t* tr = tok + (int64_t)(lane0 + f) * lane_stride;
+    const int32_t* lw = litw + (int64_t)(lane0 + f) * lane_stride;
+    uint64_t target = pos + sizes[f];
+    if (target > out_cap) return 20;
+    for (int64_t t = 0; t < T && pos < target; t++) {
+      int32_t v = tr[t];
+      if (v < 0) continue;
+      if (v & 0x20000000) {
+        uint32_t n = (uint32_t)(v & 7);
+        uint32_t w = (uint32_t)lw[t];
+        if (pos + n > target) return 22;
+        for (uint32_t i = 0; i < n; i++) {
+          out[pos++] = (uint8_t)(w >> (8 * i));
+        }
+      } else if (v & 0x40000000) {
+        uint32_t l = ((uint32_t)v >> 16) & 0x1FF;
+        uint32_t d = ((uint32_t)v & 0x7FFF) + 1;
+        if (pos + l > target || d > pos) return 21;
+        const uint8_t* src = out + pos - d;
+        uint8_t* dst = out + pos;
+        if (d >= l) {
+          memcpy(dst, src, l);
+        } else {
+          for (uint32_t i = 0; i < l; i++) dst[i] = src[i];
+        }
+        pos += l;
+      }
+    }
+    if (pos != target) return 23;
+  }
+  return 0;
+}
+
+// Folder-parallel variant: folder f covers lanes
+// [folder_lane0[f], folder_lane0[f] + folder_nframes[f]) and writes to
+// out + out_offsets[f].
+int msp_resolve_traces(const int32_t* tok, const int32_t* litw, int64_t T,
+                       int64_t lane_stride, const int32_t* folder_lane0,
+                       const int32_t* folder_nframes,
+                       const uint32_t* sizes, const int64_t* size_offsets,
+                       int n_folders, uint8_t* out,
+                       const int64_t* out_offsets, int n_threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    for (;;) {
+      int f = next.fetch_add(1);
+      if (f >= n_folders) break;
+      int r = msp_resolve_trace(
+          tok, litw, T, lane_stride, folder_lane0[f], folder_nframes[f],
+          sizes + size_offsets[f], out + out_offsets[f],
+          (uint64_t)(out_offsets[f + 1] - out_offsets[f]));
+      if (r) err.store(r);
+    }
+  };
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt > n_folders) nt = n_folders;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  return err.load();
+}
+
 // LZSS one-shot decode (SZDD/KWAJ/HLP variants), mode as in lzss.py.
 int64_t msp_lzss(const uint8_t* in, uint64_t in_len, int mode, uint8_t* out,
                  uint64_t out_cap) {

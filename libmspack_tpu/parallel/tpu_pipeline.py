@@ -1,0 +1,155 @@
+"""TPU decode pipeline: device entropy phase + host resolve phase.
+
+Executes a Plan's MSZIP folder jobs with the Pallas lane-parallel
+entropy kernel (ops/pallas_inflate.py): frames of all folders are
+batched into device lanes, phase A emits (step, lane) token traces on
+the TPU, the traces are transposed device-side (so each lane is
+contiguous), pulled to the host, and resolved into bytes by the native
+C++ phase B (msp_resolve_traces) — matches chain across frames within
+a folder exactly like the reference's carried window
+(reference mszipd.c:407-459).
+
+Lanes whose trace comes back flagged (corrupt frame, T-cap overrun)
+are re-decoded by the host engine so error semantics stay identical to
+the scalar driver.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SL, LN = 8, 128
+LANES = SL * LN
+
+
+class TpuMszipEngine:
+    """Batched MSZIP folder decode via the Pallas entropy kernel."""
+
+    def __init__(self, interpret: bool = False):
+        self.interpret = interpret
+        self._timings = {}
+
+    def decode_folders(self, folders, n_threads=None):
+        """folders: [(frames, sizes)] like native.mszip_folders.
+        Returns list of per-folder bytes, or None if unavailable."""
+        import jax
+        import jax.numpy as jnp
+        from .. import native
+        from ..ops import pallas_inflate as pa
+        import time
+
+        jobs = []      # (folder_idx, frame_idx, stream, hist, size)
+        for fi, (frames, sizes) in enumerate(folders):
+            for k, (f, s) in enumerate(zip(frames, sizes)):
+                jobs.append((fi, k, f, 0 if k == 0 else 32768, s))
+        if not jobs:
+            return [b"" for _ in folders]
+
+        out_offsets = [0]
+        for frames, sizes in folders:
+            out_offsets.append(out_offsets[-1] + sum(sizes))
+        out = np.empty(out_offsets[-1], np.uint8)
+
+        # lane batches keep each folder's frames on consecutive lanes
+        # of one batch (phase B chains history across those lanes)
+        batches = self._split_on_folders(jobs)
+
+        t0 = time.perf_counter()
+        failed = set()
+        for batch in batches:
+            self._run_batch(batch, folders, out, out_offsets, failed,
+                            n_threads)
+        self._timings["total"] = time.perf_counter() - t0
+
+        # host fallback for failed folders
+        for fi in sorted(failed):
+            frames, sizes = folders[fi]
+            blob = native.mszip_folder(frames, sizes, n_threads)
+            if blob is None:
+                return None
+            out[out_offsets[fi]:out_offsets[fi + 1]] = \
+                np.frombuffer(blob, np.uint8)
+        return [out[out_offsets[i]:out_offsets[i + 1]].tobytes()
+                for i in range(len(folders))]
+
+    @staticmethod
+    def _split_on_folders(jobs):
+        """Greedy batches of <= LANES lanes, folders kept whole."""
+        by_folder = {}
+        for j in jobs:
+            by_folder.setdefault(j[0], []).append(j)
+        batches = []
+        cur = []
+        for fi in sorted(by_folder):
+            fj = by_folder[fi]
+            if len(fj) > LANES:
+                # giant folder: its own oversized marker batch (host path)
+                batches.append(fj)
+                continue
+            if len(cur) + len(fj) > LANES:
+                batches.append(cur)
+                cur = []
+            cur.extend(fj)
+        if cur:
+            batches.append(cur)
+        return batches
+
+    def _run_batch(self, batch, folders, out, out_offsets, failed,
+                   n_threads):
+        import jax
+        import jax.numpy as jnp
+        from .. import native
+        from ..ops import pallas_inflate as pa
+
+        if len(batch) > LANES:
+            failed.update(j[0] for j in batch)
+            return
+        frames = [j[2] for j in batch]
+        hists = [j[3] for j in batch]
+        sizes = [j[4] for j in batch]
+        # worst-case steps: every output byte a literal step, plus
+        # header+wait slack per deflate block
+        t_need = max(sizes) + 1536 if sizes else 1536
+        t_pad = min(34048, ((t_need + 255) // 256) * 256)
+        tok, litw, cnt = pa.inflate_phase_a(
+            frames, hists=hists, SL=SL, LN=LN, T_PAD=t_pad,
+            interpret=self.interpret)
+        cnth = np.asarray(cnt)
+        n = len(batch)
+        errs = cnth[0, :n]
+        outb = cnth[1, :n]
+        tstop = int(cnth[2, :n].max()) + 1 if n else 1
+        bad_lane = (errs != 0) | (outb != np.asarray(sizes))
+        # transpose device-side so lanes are contiguous rows on host
+        tokT = np.asarray(jnp.transpose(tok[:tstop]))
+        litT = np.asarray(jnp.transpose(litw[:tstop]))
+
+        # group batch lanes into folder runs
+        lane = 0
+        fl0, fnf, fsizes, fidx = [], [], [], []
+        while lane < n:
+            fi = batch[lane][0]
+            cnt_f = sum(1 for j in batch if j[0] == fi)
+            lanes_bad = bad_lane[lane:lane + cnt_f].any()
+            if lanes_bad:
+                failed.add(fi)
+            else:
+                fl0.append(lane)
+                fnf.append(cnt_f)
+                fsizes.extend(sizes[lane:lane + cnt_f])
+                fidx.append(fi)
+            lane += cnt_f
+        if not fidx:
+            return
+        # resolve into a contiguous staging arena, then place
+        offs = [0]
+        for i, fi in enumerate(fidx):
+            offs.append(offs[-1] + (out_offsets[fi + 1] - out_offsets[fi]))
+        arena = np.empty(offs[-1], np.uint8)
+        r = native.resolve_traces(tokT, litT, fl0, fnf, fsizes, arena,
+                                  offs, n_threads)
+        if r != 0:
+            failed.update(fidx)
+            return
+        for i, fi in enumerate(fidx):
+            out[out_offsets[fi]:out_offsets[fi + 1]] = \
+                arena[offs[i]:offs[i + 1]]
