@@ -596,6 +596,14 @@ class CabDecompressor:
                              "cabinet set is incomplete" % file.filename)
                 raise DecrunchError("file beyond folder data")
 
+        # zero-length files never touch folder data (reference gates the
+        # whole decompression on `if (filelen)`, cabd.c:1188-1206) —
+        # salvage-mode hidden files may carry unusable folder pointers
+        if filelen == 0:
+            sink = output if isinstance(output, Sink) else FileSink(output)
+            sink.write(b"")
+            return
+
         # fast paths: decode the whole folder once (native thread pool or
         # TPU device pipeline), then serve every file from the cache
         if (self.engine == "native" and not self.salvage

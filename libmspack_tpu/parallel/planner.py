@@ -89,11 +89,15 @@ def plan_archives(paths: List[PathOrBytes]) -> Plan:
     return Plan(paths, cabinets, jobs, fallback)
 
 
-def execute(plan: Plan, n_threads: int | None = None) -> dict:
+def execute(plan: Plan, n_threads: int | None = None,
+            errors: dict | None = None) -> dict:
     """Run all jobs; returns {(archive_idx, folder_idx): folder_bytes}.
 
     Jobs the fast engines decline are re-run through the scalar driver
-    so error semantics match the reference exactly."""
+    so error semantics match the reference exactly. Decode failures are
+    recorded in `errors` (same key -> exception) — partial folder bytes
+    are still returned, like the reference's salvage discipline, but
+    never silently (mspack.h error contract)."""
     from .. import native
 
     results: dict = {}
@@ -142,8 +146,9 @@ def execute(plan: Plan, n_threads: int | None = None) -> dict:
         d._d.outsink = sink
         try:
             d._run_decomp(d._d, end)
-        except Exception:
-            pass
+        except Exception as exc:
+            if errors is not None:
+                errors[(ai, fi)] = exc
         finally:
             if d._d is not None:
                 d._d.outsink = None
@@ -152,10 +157,12 @@ def execute(plan: Plan, n_threads: int | None = None) -> dict:
 
 
 def extract_corpus(paths: List[PathOrBytes],
-                   n_threads: int | None = None) -> List[dict]:
-    """Decode whole archives: returns per-archive {filename: bytes}."""
+                   n_threads: int | None = None,
+                   errors: dict | None = None) -> List[dict]:
+    """Decode whole archives: returns per-archive {filename: bytes}.
+    Folder decode failures land in `errors` keyed (archive, folder)."""
     plan = plan_archives(paths)
-    folder_bytes = execute(plan, n_threads)
+    folder_bytes = execute(plan, n_threads, errors=errors)
     out = []
     for ai, cab in enumerate(plan.cabinets):
         files = {}

@@ -188,3 +188,29 @@ def test_multi_part_merge():
     # all files must decode to their declared lengths
     for (name, md5, ln), f in zip(outs, files):
         assert ln == f.length, name
+
+
+def test_salvage_hidden_files():
+    """Files located via the header's files-offset rather than directly
+    after the folders are only discovered in salvage mode
+    (reference: cabd_test.c:235-280, cabd.c:463-501)."""
+    path = os.path.join(CABD, "hidden-files.cab")
+    cab, _ = extract_all(path)
+    assert [f.filename for f in cab.files] == ["normal1.txt",
+                                               "normal2.txt"]
+    cab, outs = extract_all(path, salvage=True)
+    assert [f.filename for f in cab.files] == [
+        "normal1.txt", "normal2.txt", "hidden1.txt", "hidden2.txt"]
+    # extraction must match the oracle in salvage mode byte-for-byte
+    ref_err, ref_outs = oracle.cab_extract_all(path, salvage=True)
+    assert [hashlib.md5(o).hexdigest() for o in outs] == \
+        [hashlib.md5(o).hexdigest() for o in ref_outs]
+
+    # hidden file beyond EOF / with bad folder id: only the normal file
+    # is listed (reference checks the listing only, cabd_test.c:266-278)
+    d = CabDecompressor()
+    d.set_param(3, 1)
+    for name in ("hidden-file-beyond-eof.cab",
+                 "hidden-file-bad-folderid.cab"):
+        cab = d.open(os.path.join(CABD, name))
+        assert len(cab.files) == 1
