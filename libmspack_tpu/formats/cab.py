@@ -209,6 +209,7 @@ class CabDecompressor:
         from ..utils import resolve_engine
         self.engine = resolve_engine(engine)
         self._scratch_out = None   # warm decode arena (native.Scratch)
+        self._tpu_engine = None    # lazy TpuMszipEngine (engine="tpu")
         self._scratch_in = None    # warm staging arena
         self._img_cache = None     # (Cabinet, np image view)
         self._d: Optional[_DecompState] = None
@@ -601,7 +602,11 @@ class CabDecompressor:
         # salvage-mode hidden files may carry unusable folder pointers
         if filelen == 0:
             sink = output if isinstance(output, Sink) else FileSink(output)
-            sink.write(b"")
+            try:
+                sink.write(b"")
+            finally:
+                if sink is not output and hasattr(sink, "close"):
+                    sink.close()
             return
 
         # fast paths: decode the whole folder once (native thread pool or
@@ -641,6 +646,22 @@ class CabDecompressor:
         if (self.engine == "jax" and not self.salvage
                 and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_LZX):
             folder_bytes = self._folder_bytes_lzx_device(fol)
+            if folder_bytes is not None:
+                sink = output if isinstance(output, Sink) else FileSink(output)
+                try:
+                    if file.offset + filelen > len(folder_bytes):
+                        raise DecrunchError("file beyond decoded folder")
+                    sink.write(folder_bytes[file.offset :
+                                            file.offset + filelen])
+                    return
+                finally:
+                    if sink is not output and hasattr(sink, "close"):
+                        sink.close()
+
+        if (self.engine == "tpu" and not self.salvage
+                and not self.fix_mszip
+                and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_MSZIP):
+            folder_bytes = self._folder_bytes_tpu(fol)
             if folder_bytes is not None:
                 sink = output if isinstance(output, Sink) else FileSink(output)
                 try:
@@ -747,6 +768,32 @@ class CabDecompressor:
         view = out[: offs[1]]
         self._folder_cache = (fol, view)
         return view
+
+    def _folder_bytes_tpu(self, fol: CabFolder) -> bytes | None:
+        """Decode an entire MSZIP folder on the TPU: Pallas lane-
+        parallel entropy phase A + native phase B trace resolve
+        (parallel/tpu_pipeline.py). Returns None when the folder can't
+        be collected (then the other paths / scalar driver run)."""
+        if self._folder_cache is not None and self._folder_cache[0] is fol:
+            return self._folder_cache[1]
+        collected = self.collect_mszip_frames(fol)
+        if collected is None:
+            return None
+        frames, sizes = collected
+        try:
+            if self._tpu_engine is None:
+                import jax
+                from ..parallel.tpu_pipeline import TpuMszipEngine
+                self._tpu_engine = TpuMszipEngine(
+                    interpret=jax.default_backend() == "cpu")
+            outs = self._tpu_engine.decode_folders(
+                [([f[2:] for f in frames], sizes)])
+        except Exception:
+            return None
+        if outs is None:
+            return None
+        self._folder_cache = (fol, outs[0])
+        return outs[0]
 
     def _folder_bytes_fast(self, fol: CabFolder) -> bytes | None:
         """Decode an entire MSZIP folder via the batched speculative

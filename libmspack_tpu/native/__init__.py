@@ -448,6 +448,8 @@ def resolve_traces(tok, litw, folder_lane0: list[int],
     soffs = (ctypes.c_int64 * n_folders)(*soff)
     ooff = (ctypes.c_int64 * (n_folders + 1))(*out_offsets)
     assert tok.dtype == np.int32 and tok.flags.c_contiguous
+    assert litw.dtype == np.int32 and litw.flags.c_contiguous
+    assert litw.shape == tok.shape
     return L.msp_resolve_traces(
         tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         litw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

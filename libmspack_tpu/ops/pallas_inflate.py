@@ -19,11 +19,19 @@ TPU-native design notes (vs the reference's pull-byte loop):
 * Table *construction* is O(1) per code length: ranks are assigned
   incrementally while the code-length RLE stream is decoded, so the
   periodic "build" event only derives the 15 first/limit rows.
-* Per-lane bitstream refill: streams live in HBM as a (W, LANES) word
-  grid; each lane has a 64-word VMEM window re-aligned to its own read
-  cursor by round-robin column DMA (G lanes per step). In-window fetch
-  is a mask-sum sweep. A lane whose window is mid-flight simply stalls
-  for one step.
+* Bitstream refill: streams live in HBM as a (W, SL, LN) word grid;
+  each *sublane row* of 128 lanes shares a WINR-word VMEM window,
+  re-aligned every RPD*SL steps to the row's minimum active read
+  cursor by one rectangular (WINR, 1, 128) DMA (single-lane column
+  DMAs don't lower on Mosaic — the lane dim must stay whole).
+  In-window fetch is a mask-sum sweep. Lanes of a freshly-re-DMA'd row
+  stall one step; a lane more than WINR-RPD*SL words ahead of its row
+  minimum stalls until the row minimum advances, so callers should
+  sort frames by compressed size to keep rows rate-homogeneous.
+* All lane state and every table row is natively (SL, LN)-tiled —
+  (8, 128) is the VPU register shape — so the Mosaic compiler never
+  needs a vector shape cast (1-D <-> 2-D reshapes of masks don't
+  lower on TPU).
 * One token row per step (row index = step, uniform across lanes) —
   so the trace write is a plain vector store, no scatters. Literals
   pack 4 per token; matches take two steps (length, then distance).
@@ -48,9 +56,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WIN = 64          # per-lane stream window, words
-G = 16            # lanes DMA-refreshed per step
+WINR = 256        # per-row stream window, words (1 KiB/lane)
+RPD = 4           # steps between row-refresh DMAs (row period RPD*SL)
 CHUNK = 128       # token staging rows per HBM flush
+S_ROW = 0         # semaphore indices
+S_TOK = 1         # .. and 2
+S_LIT = 3         # .. and 4
+NSEM = 5
 NLIT = 288
 NDIST = 30
 NCL = 19
@@ -106,7 +118,7 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
             limlit, firstlit, cntlit,
             limdist, firstdist, cntdist,
             limcl, firstcl, cntcl, runcl,
-            stage_tok, stage_lit, sems,
+            stage_tok, stage_lit, mintmp, sems,
             *, SL, LN, W, T_PAD):
     L = SL * LN
     i32 = jnp.int32
@@ -114,23 +126,33 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
     rowi = jax.lax.broadcasted_iota(i32, (SL, LN), 0)
     coli = jax.lax.broadcasted_iota(i32, (SL, LN), 1)
     laneid = rowi * LN + coli
+    # lane-varying row index: masks built from the sublane iota alone
+    # get a lane-replicated Mosaic layout ({0,*}) that loop carries
+    # can't be relayout'd to — derive the row from laneid instead
+    rowv = laneid // LN
     zero = jnp.zeros((SL, LN), i32)
     zero_u = jnp.zeros((SL, LN), u32)
 
     def vfull(v, dt=i32):
         return jnp.full((SL, LN), v, dt)
 
+    # laneid-derived constants: both lax.cond branches must produce the
+    # same (non-replicated) Mosaic layout, so constant branches can't
+    # use broadcasted literals.
+    nz = laneid & 0
+    nneg1 = nz - 1
+
     # ---- initial window load: all lanes at word 0, rectangular DMA
     init_dma = pltpu.make_async_copy(
-        stream_hbm.at[pl.ds(0, WIN), :], win_ref, sems.at[G])
+        stream_hbm.at[pl.ds(0, WINR)], win_ref, sems.at[S_ROW])
     init_dma.start()
     init_dma.wait()
 
     # invalidate staging token planes
-    stage_tok[0] = jnp.full((CHUNK, L), TOK_NOP, i32)
-    stage_tok[1] = jnp.full((CHUNK, L), TOK_NOP, i32)
-    stage_lit[0] = jnp.zeros((CHUNK, L), i32)
-    stage_lit[1] = jnp.zeros((CHUNK, L), i32)
+    stage_tok[0] = jnp.full((CHUNK, SL, LN), TOK_NOP, i32)
+    stage_tok[1] = jnp.full((CHUNK, SL, LN), TOK_NOP, i32)
+    stage_lit[0] = jnp.zeros((CHUNK, SL, LN), i32)
+    stage_lit[1] = jnp.zeros((CHUNK, SL, LN), i32)
 
     def consume(lo, hi, navail, k):
         """Drop k (0..32) low bits from the 64-bit (lo, hi) buffer."""
@@ -145,59 +167,66 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         """Per-lane word win[off[lane], lane] via compare/select."""
         w = zero_u
         def body(n, w):
-            return jnp.where(off == n, win_ref[n].reshape(SL, LN), w)
-        return jax.lax.fori_loop(0, WIN, body, w)
+            return jnp.where(off == n, win_ref[n], w)
+        return jax.lax.fori_loop(0, WINR, body, w)
 
     def gather16(tab, idx):
         """Per-lane tab[idx[lane], lane] for a 16-row table."""
         v = zero
         def body(n, v):
-            return jnp.where(idx == n, tab[n].reshape(SL, LN), v)
+            return jnp.where(idx == n, tab[n], v)
         return jax.lax.fori_loop(0, 16, body, v)
 
     def step(state):
-        (t, mode, bitlo, bithi, navail, wpos, base, pend,
+        (t, _alldone, mode, bitlo, bithi, navail, wpos, base, pend,
          outpos, litword, litcnt, pendlen, finalf, prevlen,
          fillpos, nlit, ndist, npre, clraw_i, stored_rem,
          err, donestep) = state
 
-        # ---------- stream window refresh: G lanes, round robin ----
-        def refresh(i, _):
-            g = jax.lax.rem(t * G + i, L)
-            @pl.when(t > 0)
-            def _():
-                pltpu.make_async_copy(
-                    stream_hbm.at[pl.ds(0, WIN), 0],
-                    win_ref.at[:, 0], sems.at[i]).wait()
-            w = jnp.sum(jnp.where(laneid == g, wpos, 0))
-            w = jnp.minimum(w, W - WIN)
+        # ---------- stream window refresh: one sublane row, round robin
+        is_wait = jnp.logical_and(jax.lax.rem(t, RPD) == 1, t > 0)
+        @pl.when(is_wait)
+        def _():
+            # completes the row DMA issued at t-1
             pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(w, WIN), g],
-                win_ref.at[:, g], sems.at[i]).start()
-            return 0
-        jax.lax.fori_loop(0, G, refresh, 0, unroll=True)
-        gfirst = jax.lax.rem(t * G, L)
-        refreshed = (laneid - gfirst) % L < G
-        prevfirst = jax.lax.rem((t - 1) * G, L)
-        prev_refreshed = (laneid - prevfirst) % L < G
-        # lanes refreshed at t-1: DMA completed (waited above) -> base ok
-        base = jnp.where(refreshed, jnp.minimum(wpos, W - WIN), base)
-        pend = jnp.where(jnp.logical_and(pend, prev_refreshed),
+                stream_hbm.at[pl.ds(0, WINR), 0],
+                win_ref.at[:, 0], sems.at[S_ROW]).wait()
+        r_prev = jax.lax.rem((t - 1) // RPD, SL)
+        pend = jnp.where(jnp.logical_and(is_wait, rowv == r_prev),
                          vfull(0), pend)
-        pend = jnp.where(refreshed, vfull(1), pend)
+
+        is_issue = jax.lax.rem(t, RPD) == 0
+        r_issue = jax.lax.rem(t // RPD, SL)
+        m_r = rowv == r_issue
+        act_rd = jnp.logical_and(mode < M_DONE, wpos < W)
+        cand = jnp.where(jnp.logical_and(m_r, act_rd), wpos, W)
+        # roundtrip through VMEM: decouples the reduce's layout demand
+        # from the wpos carry (direct min() made Mosaic demand a lane-
+        # replicated carry layout -> invalid relayout)
+        mintmp[0] = cand
+        wmin = jnp.minimum(jnp.min(mintmp[0]), W - WINR)
+        @pl.when(is_issue)
+        def _():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(wmin, WINR), r_issue],
+                win_ref.at[:, r_issue], sems.at[S_ROW]).start()
+        issued = jnp.logical_and(is_issue, m_r)
+        base = jnp.where(issued, wmin, base)
+        pend = jnp.where(issued, vfull(1), pend)
 
         # ---------- fetch: one conditional 32-bit refill ------------
         off = wpos - base
-        can = jnp.logical_and(pend == 0, off < WIN)
+        can = jnp.logical_and(pend == 0, off < WINR)
         need = jnp.logical_and(navail < 32, jnp.logical_and(can, wpos < W))
-        w = sweep_fetch(jnp.where(need, off, vfull(WIN)))
+        w = sweep_fetch(jnp.where(need, off, vfull(WINR)))
         nau = navail.astype(u32)
         bitlo = jnp.where(need & (navail == 0), w, bitlo)
         bitlo = jnp.where(need & (navail > 0), bitlo | (w << nau), bitlo)
-        hi_in = w >> (u32(32) - jnp.clip(nau, 1, 31))
+        # NB: clip in i32 — u32 min/max doesn't lower on Mosaic
+        hi_in = w >> (u32(32) - jnp.clip(navail, 1, 31).astype(u32))
         bithi = jnp.where(need & (navail > 0), bithi | hi_in, bithi)
         navail = navail + jnp.where(need, 32, 0)
-        wpos = wpos + need.astype(i32)
+        wpos = jnp.where(need, wpos + 1, wpos)
         # past end of stream: fake zero refill (reference readbits.h:198)
         at_end = jnp.logical_and(navail < 32, wpos >= W)
         navail = jnp.where(at_end, 64, navail)
@@ -219,13 +248,11 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
             bit = ((blo >> u32(l - 1)) & u32(1)).astype(i32)
             c = (acc << 1) | bit
             lim = jnp.where(
-                lim0 == 0, limlit[l].reshape(SL, LN),
-                jnp.where(lim0 == 1, limdist[l].reshape(SL, LN),
-                          limcl[l].reshape(SL, LN)))
+                lim0 == 0, limlit[l],
+                jnp.where(lim0 == 1, limdist[l], limcl[l]))
             fst = jnp.where(
-                lim0 == 0, firstlit[l].reshape(SL, LN),
-                jnp.where(lim0 == 1, firstdist[l].reshape(SL, LN),
-                          firstcl[l].reshape(SL, LN)))
+                lim0 == 0, firstlit[l],
+                jnp.where(lim0 == 1, firstdist[l], firstcl[l]))
             hit = jnp.logical_and(c < lim, length == 16)
             return (jnp.where(hit, l, length), c,
                     jnp.where(hit, c, code),
@@ -237,19 +264,14 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         length = jnp.where(length == 16, 0, length)
 
         # ---------- symbol probes (gated sweeps) ---------------------
-        litsym = vfull(-1)
-        @pl.when(jnp.any(is_body))
-        def _():
-            pass
-        # (pl.when cannot return values; gate via cond on scalar)
         def probe(tab, rows, active):
             def run(_):
                 def body(n, s):
-                    hit = jnp.logical_and(active, key == tab[n].reshape(SL, LN))
+                    hit = jnp.logical_and(active, key == tab[n])
                     return jnp.where(hit, n, s)
                 return jax.lax.fori_loop(0, rows, body, vfull(-1))
             return jax.lax.cond(jnp.any(active), run,
-                                lambda _: vfull(-1), 0)
+                                lambda _: nneg1, 0)
         litsym = probe(symkey, NLIT, is_body)
         dsym = probe(distkey, NDIST, is_dist)
         clsym = probe(clkey, NCL, is_cll)
@@ -318,7 +340,7 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         dist = base_d + dext
         d_bad = jnp.logical_or(
             d_bad, jnp.logical_and(is_dist,
-                                   dist > outpos + hist_ref[:].reshape(SL, LN)))
+                                   dist > outpos + hist_ref[:]))
         kdist = jnp.where(is_dist & ~d_bad, length + e_d, 0)
         okd = jnp.logical_and(is_dist, ~d_bad)
         tok = jnp.where(okd, TOK_MATCH | (pendlen << 16) | (dist - 1), tok)
@@ -358,27 +380,23 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         # invalidate per-lane tables entering a dynamic block
         @pl.when(jnp.any(is_clh))
         def _():
-            m = is_clh.reshape(1, L)
+            m = is_clh
             def inval(n, _):
-                symkey[n] = jnp.where(m[0], vfull(-1).reshape(L),
-                                      symkey[n])
+                symkey[n] = jnp.where(m, vfull(-1), symkey[n])
                 return 0
             jax.lax.fori_loop(0, NLIT, inval, 0)
             def invald(n, _):
-                distkey[n] = jnp.where(m[0], vfull(-1).reshape(L),
-                                       distkey[n])
+                distkey[n] = jnp.where(m, vfull(-1), distkey[n])
                 return 0
             jax.lax.fori_loop(0, NDIST, invald, 0)
             def invalc(n, _):
-                clkey[n] = jnp.where(m[0], vfull(-1).reshape(L), clkey[n])
+                clkey[n] = jnp.where(m, vfull(-1), clkey[n])
                 return 0
             jax.lax.fori_loop(0, NCL, invalc, 0)
             def zcnt(n, _):
-                z = jnp.where(m[0], jnp.zeros((L,), i32), cntlit[n])
-                cntlit[n] = z
-                cntdist[n] = jnp.where(m[0], jnp.zeros((L,), i32),
-                                       cntdist[n])
-                cntcl[n] = jnp.where(m[0], jnp.zeros((L,), i32), cntcl[n])
+                cntlit[n] = jnp.where(m, zero, cntlit[n])
+                cntdist[n] = jnp.where(m, zero, cntdist[n])
+                cntcl[n] = jnp.where(m, zero, cntcl[n])
                 return 0
             jax.lax.fori_loop(0, 16, zcnt, 0)
 
@@ -396,19 +414,14 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         wr_cl = jnp.logical_and(is_clr, clv > 0)
         @pl.when(jnp.any(is_clr))
         def _():
-            keyv = (clv << 16).reshape(1, L)
-            m = (wr_cl).reshape(1, L)
-            ov = ordv.reshape(1, L)
+            keyv = clv << 16
             def wr(n, _):
-                clkey[n] = jnp.where(m[0] & (ov[0] == n), keyv[0],
-                                     clkey[n])
+                clkey[n] = jnp.where(wr_cl & (ordv == n), keyv, clkey[n])
                 return 0
             jax.lax.fori_loop(0, NCL, wr, 0)
-            cm = clv.reshape(1, L)
             def upc(n, _):
-                cntcl[n] = cntcl[n] + jnp.where(
-                    m[0] & (cm[0] == n), jnp.ones((L,), i32),
-                    jnp.zeros((L,), i32))
+                cntcl[n] = cntcl[n] + jnp.where(wr_cl & (clv == n),
+                                                vfull(1), zero)
                 return 0
             jax.lax.fori_loop(0, 16, upc, 0)
         clraw_i = clraw_i + jnp.where(is_clr, 1, 0)
@@ -445,33 +458,25 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         nlit_in_run = jnp.clip(nlit - fillpos, 0, run)
         @pl.when(jnp.any(wr_any))
         def _():
-            m = wr_any.reshape(1, L)
-            fp = fillpos.reshape(1, L)
-            rn = run.reshape(1, L)
-            vv = val.reshape(1, L)
-            rbl = rb_lit.reshape(1, L)
-            rbd = rb_dist.reshape(1, L)
-            nl = nlit.reshape(1, L)
             def wrl(n, _):
-                inr = m[0] & (n >= fp[0]) & (n < fp[0] + rn[0]) & (n < nl[0])
-                kv = (vv[0] << 16) | (rbl[0] + (n - fp[0]))
+                inr = (wr_any & (n >= fillpos) & (n < fillpos + run)
+                       & (n < nlit))
+                kv = (val << 16) | (rb_lit + (n - fillpos))
                 symkey[n] = jnp.where(inr, kv, symkey[n])
                 return 0
             jax.lax.fori_loop(0, NLIT, wrl, 0)
             def wrd(n, _):
-                a = nl[0] + n
-                inr = m[0] & (a >= fp[0]) & (a < fp[0] + rn[0])
-                kv = (vv[0] << 16) | (rbd[0] + (a - jnp.maximum(fp[0],
-                                                                nl[0])))
+                a = nlit + n
+                inr = wr_any & (a >= fillpos) & (a < fillpos + run)
+                kv = (val << 16) | (rb_dist
+                                    + (a - jnp.maximum(fillpos, nlit)))
                 distkey[n] = jnp.where(inr, kv, distkey[n])
                 return 0
             jax.lax.fori_loop(0, NDIST, wrd, 0)
-            nlr = nlit_in_run.reshape(1, L)
             def upcnt(n, _):
-                addl = jnp.where(m[0] & (vv[0] == n), nlr[0],
-                                 jnp.zeros((L,), i32))
-                addd = jnp.where(m[0] & (vv[0] == n), rn[0] - nlr[0],
-                                 jnp.zeros((L,), i32))
+                addl = jnp.where(wr_any & (val == n), nlit_in_run, zero)
+                addd = jnp.where(wr_any & (val == n), run - nlit_in_run,
+                                 zero)
                 cntlit[n] = cntlit[n] + addl
                 cntdist[n] = cntdist[n] + addd
                 return 0
@@ -530,94 +535,103 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         fixreq = jnp.logical_and(wait_main, npre < 0)
         @pl.when(do_build)
         def _():
-            mcl = wait_cl.reshape(1, L)
-            mmain = wait_main.reshape(1, L)
-            mfix = fixreq.reshape(1, L)
-            zl = jnp.zeros((L,), i32)
+            mcl = wait_cl
+            mmain = wait_main
+            mfix = fixreq
             # canonical CL ranks, assigned in symbol order
             def zrun(n, _):
-                runcl[n] = jnp.where(mcl[0], zl, runcl[n])
+                runcl[n] = jnp.where(mcl, zero, runcl[n])
                 return 0
             jax.lax.fori_loop(0, 16, zrun, 0)
             def clrank(s, _):
                 lenv = clkey[s] >> 16  # -1 rows stay negative
-                rk = jnp.zeros((L,), i32)
+                rk = zero
                 def g(n, rk):
                     return jnp.where(lenv == n, runcl[n], rk)
                 rk = jax.lax.fori_loop(1, 16, g, rk)
                 def inc(n, _):
-                    runcl[n] = runcl[n] + jnp.where(
-                        mcl[0] & (lenv == n), jnp.ones((L,), i32),
-                        jnp.zeros((L,), i32))
+                    runcl[n] = runcl[n] + jnp.where(mcl & (lenv == n),
+                                                    vfull(1), zero)
                     return 0
                 jax.lax.fori_loop(1, 16, inc, 0)
-                clkey[s] = jnp.where(mcl[0] & (lenv > 0),
+                clkey[s] = jnp.where(mcl & (lenv > 0),
                                      (lenv << 16) | rk, clkey[s])
                 return 0
             jax.lax.fori_loop(0, NCL, clrank, 0)
-            firstcl[0] = jnp.where(mcl[0], zl, firstcl[0])
-            limcl[0] = jnp.where(mcl[0], zl, limcl[0])
-            firstlit[0] = jnp.where(mmain[0], zl, firstlit[0])
-            limlit[0] = jnp.where(mmain[0], zl, limlit[0])
-            firstdist[0] = jnp.where(mmain[0], zl, firstdist[0])
-            limdist[0] = jnp.where(mmain[0], zl, limdist[0])
+            firstcl[0] = jnp.where(mcl, zero, firstcl[0])
+            limcl[0] = jnp.where(mcl, zero, limcl[0])
+            firstlit[0] = jnp.where(mmain, zero, firstlit[0])
+            limlit[0] = jnp.where(mmain, zero, limlit[0])
+            firstdist[0] = jnp.where(mmain, zero, firstdist[0])
+            limdist[0] = jnp.where(mmain, zero, limdist[0])
             def bl(l, _):
                 fc = (firstcl[l - 1] + cntcl[l - 1]) << 1
-                firstcl[l] = jnp.where(mcl[0], fc, firstcl[l])
-                limcl[l] = jnp.where(mcl[0], fc + cntcl[l], limcl[l])
+                firstcl[l] = jnp.where(mcl, fc, firstcl[l])
+                limcl[l] = jnp.where(mcl, fc + cntcl[l], limcl[l])
                 fl = (firstlit[l - 1] + cntlit[l - 1]) << 1
-                firstlit[l] = jnp.where(mmain[0] & ~mfix[0], fl,
-                                        firstlit[l])
-                limlit[l] = jnp.where(mmain[0] & ~mfix[0],
+                firstlit[l] = jnp.where(mmain & ~mfix, fl, firstlit[l])
+                limlit[l] = jnp.where(mmain & ~mfix,
                                       fl + cntlit[l], limlit[l])
                 fd = (firstdist[l - 1] + cntdist[l - 1]) << 1
-                firstdist[l] = jnp.where(mmain[0] & ~mfix[0], fd,
-                                         firstdist[l])
-                limdist[l] = jnp.where(mmain[0] & ~mfix[0],
+                firstdist[l] = jnp.where(mmain & ~mfix, fd, firstdist[l])
+                limdist[l] = jnp.where(mmain & ~mfix,
                                        fd + cntdist[l], limdist[l])
                 return 0
             jax.lax.fori_loop(1, 16, bl, 0)
             # fixed-tree lanes: constant tables
-            @pl.when(jnp.any(mfix[0]))
+            @pl.when(jnp.any(mfix))
             def _():
                 def fixrow(n, _):
-                    symkey[n] = jnp.where(
-                        mfix[0], jnp.full((L,), 0, i32) + fixk_ref[n, 0],
-                        symkey[n])
+                    symkey[n] = jnp.where(mfix, zero + fixk_ref[n, 0],
+                                          symkey[n])
                     return 0
                 jax.lax.fori_loop(0, NLIT, fixrow, 0)
                 def fixd(n, _):
-                    distkey[n] = jnp.where(
-                        mfix[0], jnp.full((L,), 0, i32) + fixk_ref[n, 1],
-                        distkey[n])
+                    distkey[n] = jnp.where(mfix, zero + fixk_ref[n, 1],
+                                           distkey[n])
                     return 0
                 jax.lax.fori_loop(0, NDIST, fixd, 0)
                 def fixl(l, _):
-                    firstlit[l] = jnp.where(mfix[0],
-                                            zl + fixf_ref[l, 0],
+                    firstlit[l] = jnp.where(mfix, zero + fixf_ref[l, 0],
                                             firstlit[l])
-                    limlit[l] = jnp.where(mfix[0], zl + fixf_ref[l, 1],
+                    limlit[l] = jnp.where(mfix, zero + fixf_ref[l, 1],
                                           limlit[l])
-                    firstdist[l] = jnp.where(mfix[0],
-                                             zl + fixf_ref[l, 2],
+                    firstdist[l] = jnp.where(mfix, zero + fixf_ref[l, 2],
                                              firstdist[l])
-                    limdist[l] = jnp.where(mfix[0], zl + fixf_ref[l, 3],
+                    limdist[l] = jnp.where(mfix, zero + fixf_ref[l, 3],
                                            limdist[l])
                     return 0
                 jax.lax.fori_loop(0, 16, fixl, 0)
         built = jnp.logical_and(do_build, jnp.logical_or(wait_cl,
                                                          wait_main))
+        # over-subscription check (reference make_decode_table rejects
+        # with INF_ERR_LITERALTBL/DISTANCETBL, mszipd.c:120-143): a
+        # built table with limit[l] > 2^l would decode ambiguously.
+        def oversub(lim):
+            def body(l, bad):
+                return bad | jnp.where(lim[l] > (1 << l), 1, 0)
+            return jax.lax.fori_loop(1, 16, body, zero)
+        def kraft_check(_):
+            bad_cl = oversub(limcl)
+            bad_main = oversub(limlit) | oversub(limdist)
+            return jnp.where(wait_cl, bad_cl,
+                             jnp.where(wait_main & ~fixreq, bad_main,
+                                       zero))
+        bad_tbl = jax.lax.cond(do_build, kraft_check,
+                               lambda _: nz, 0) > 0
         new_mode = jnp.where(jnp.logical_and(built, wait_cl), M_CLLENS,
                              new_mode)
         new_mode = jnp.where(jnp.logical_and(built, wait_main), M_BODY,
                              new_mode)
+        new_mode, new_err = seterr(jnp.logical_and(built, bad_tbl),
+                                   new_mode, new_err)
         npre = jnp.where(jnp.logical_and(built, fixreq), 0, npre)
 
         # ---------- emit token row ------------------------------------
         row = jax.lax.rem(t, CHUNK)
         slotc = jax.lax.rem(t // CHUNK, 2)
-        stage_tok[slotc, row] = tok.reshape(L)
-        stage_lit[slotc, row] = litw_out.reshape(L)
+        stage_tok[slotc, row] = tok
+        stage_lit[slotc, row] = litw_out
         @pl.when(row == CHUNK - 1)
         def _():
             c = t // CHUNK
@@ -625,19 +639,19 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
             @pl.when(c >= 2)
             def _():
                 pltpu.make_async_copy(stage_tok.at[0],
-                                      tok_hbm.at[pl.ds(0, CHUNK), :],
-                                      sems.at[G + 1 + slotc]).wait()
+                                      tok_hbm.at[pl.ds(0, CHUNK)],
+                                      sems.at[S_TOK + slotc]).wait()
                 pltpu.make_async_copy(stage_lit.at[0],
-                                      litw_hbm.at[pl.ds(0, CHUNK), :],
-                                      sems.at[G + 3 + slotc]).wait()
+                                      litw_hbm.at[pl.ds(0, CHUNK)],
+                                      sems.at[S_LIT + slotc]).wait()
             pltpu.make_async_copy(
                 stage_tok.at[slotc],
-                tok_hbm.at[pl.ds(c * CHUNK, CHUNK), :],
-                sems.at[G + 1 + slotc]).start()
+                tok_hbm.at[pl.ds(c * CHUNK, CHUNK)],
+                sems.at[S_TOK + slotc]).start()
             pltpu.make_async_copy(
                 stage_lit.at[slotc],
-                litw_hbm.at[pl.ds(c * CHUNK, CHUNK), :],
-                sems.at[G + 3 + slotc]).start()
+                litw_hbm.at[pl.ds(c * CHUNK, CHUNK)],
+                sems.at[S_LIT + slotc]).start()
 
         if DEBUG_LANE is not None:
             gl = DEBUG_LANE
@@ -657,30 +671,35 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         donestep = jnp.where(
             jnp.logical_and(donestep < 0, new_mode >= M_DONE), t,
             donestep)
-        return (t + 1, new_mode, bitlo, bithi, navail, wpos, base, pend,
-                outpos, litword, litcnt, pendlen, finalf, prevlen,
-                fillpos, nlit, ndist, npre, clraw_i, stored_rem,
-                new_err, donestep)
+        # scalar all-done flag: the while cond must not reduce a vector
+        # carry (Mosaic would demand a lane-replicated carry layout,
+        # which {0,0} vectors can't relayout to)
+        alldone = jnp.where(jnp.all(new_mode >= M_DONE),
+                            jnp.int32(1), jnp.int32(0))
+        return (t + 1, alldone, new_mode, bitlo, bithi, navail, wpos,
+                base, pend, outpos, litword, litcnt, pendlen, finalf,
+                prevlen, fillpos, nlit, ndist, npre, clraw_i,
+                stored_rem, new_err, donestep)
 
     def cond(state):
-        t = state[0]
-        mode = state[1]
-        return jnp.logical_and(t < T_PAD,
-                               jnp.logical_not(jnp.all(mode >= M_DONE)))
+        t, alldone = state[0], state[1]
+        return jnp.logical_and(t < T_PAD, alldone == 0)
 
-    init = (jnp.int32(0), vfull(M_BLKHDR), zero_u, zero_u, zero, zero,
-            zero, vfull(0), zero, zero, zero, zero, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero, vfull(-1))
+    # init via laneid so every carry already has the body's layout
+    nz_u = nz.astype(u32)
+    init = (jnp.int32(0), jnp.int32(0), nz + M_BLKHDR, nz_u, nz_u,
+            nz, nz, nz, nz, nz, nz, nz, nz, nz, nz, nz,
+            nz, nz, nz, nz, nz, nz, nneg1)
     final = jax.lax.while_loop(cond, step, init)
-    (t_end, mode, _, _, _, wpos, _, _, outpos, _, _, _, _, _, _, _,
-     _, _, _, _, err, donestep) = final
+    (t_end, _, mode, _, _, _, wpos, _, _, outpos, _, _, _, _, _, _,
+     _, _, _, _, _, err, donestep) = final
 
-    # drain stream-refresh DMAs
-    def drain(i, _):
-        pltpu.make_async_copy(stream_hbm.at[pl.ds(0, WIN), 0],
-                              win_ref.at[:, 0], sems.at[i]).wait()
-        return 0
-    jax.lax.fori_loop(0, G, drain, 0, unroll=True)
+    # drain stream-refresh DMA: un-waited iff last issue was at t_end-1
+    @pl.when(jnp.logical_and(t_end >= 1,
+                             jax.lax.rem(t_end - 1, RPD) == 0))
+    def _():
+        pltpu.make_async_copy(stream_hbm.at[pl.ds(0, WINR), 0],
+                              win_ref.at[:, 0], sems.at[S_ROW]).wait()
 
     # final staging flush: both slots, fully (simplest correct drain)
     nflushed = (t_end // CHUNK) * CHUNK
@@ -689,50 +708,50 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
     def _():
         for s in range(2):
             pltpu.make_async_copy(stage_tok.at[0],
-                                  tok_hbm.at[pl.ds(0, CHUNK), :],
-                                  sems.at[G + 1 + s]).wait()
+                                  tok_hbm.at[pl.ds(0, CHUNK)],
+                                  sems.at[S_TOK + s]).wait()
             pltpu.make_async_copy(stage_lit.at[0],
-                                  litw_hbm.at[pl.ds(0, CHUNK), :],
-                                  sems.at[G + 3 + s]).wait()
+                                  litw_hbm.at[pl.ds(0, CHUNK)],
+                                  sems.at[S_LIT + s]).wait()
     @pl.when(jnp.logical_and(c == 1, jax.lax.rem(t_end, CHUNK) > 0))
     def _():
         slotp = jax.lax.rem(c, 2) ^ 1
         pltpu.make_async_copy(stage_tok.at[0],
-                              tok_hbm.at[pl.ds(0, CHUNK), :],
-                              sems.at[G + 1 + slotp]).wait()
+                              tok_hbm.at[pl.ds(0, CHUNK)],
+                              sems.at[S_TOK + slotp]).wait()
         pltpu.make_async_copy(stage_lit.at[0],
-                              litw_hbm.at[pl.ds(0, CHUNK), :],
-                              sems.at[G + 3 + slotp]).wait()
+                              litw_hbm.at[pl.ds(0, CHUNK)],
+                              sems.at[S_LIT + slotp]).wait()
     @pl.when(jax.lax.rem(t_end, CHUNK) > 0)
     def _():
         slotc = jax.lax.rem(c, 2)
         pltpu.make_async_copy(
             stage_tok.at[slotc],
-            tok_hbm.at[pl.ds(nflushed, CHUNK), :],
-            sems.at[G + 1 + slotc]).start()
+            tok_hbm.at[pl.ds(nflushed, CHUNK)],
+            sems.at[S_TOK + slotc]).start()
         pltpu.make_async_copy(
             stage_lit.at[slotc],
-            litw_hbm.at[pl.ds(nflushed, CHUNK), :],
-            sems.at[G + 3 + slotc]).start()
+            litw_hbm.at[pl.ds(nflushed, CHUNK)],
+            sems.at[S_LIT + slotc]).start()
         pltpu.make_async_copy(
             stage_tok.at[slotc],
-            tok_hbm.at[pl.ds(nflushed, CHUNK), :],
-            sems.at[G + 1 + slotc]).wait()
+            tok_hbm.at[pl.ds(nflushed, CHUNK)],
+            sems.at[S_TOK + slotc]).wait()
         pltpu.make_async_copy(
             stage_lit.at[slotc],
-            litw_hbm.at[pl.ds(nflushed, CHUNK), :],
-            sems.at[G + 3 + slotc]).wait()
+            litw_hbm.at[pl.ds(nflushed, CHUNK)],
+            sems.at[S_LIT + slotc]).wait()
 
     errv = jnp.where(mode == M_ERR, 1, 0)
     errv = jnp.where(mode < M_DONE, 2, errv)  # hit T cap
-    cnt_ref[0] = errv.reshape(L)
-    cnt_ref[1] = outpos.reshape(L)
-    cnt_ref[2] = jnp.where(donestep < 0, t_end, donestep).reshape(L)
-    cnt_ref[3] = wpos.reshape(L)
-    cnt_ref[4] = zero.reshape(L)
-    cnt_ref[5] = zero.reshape(L)
-    cnt_ref[6] = zero.reshape(L)
-    cnt_ref[7] = zero.reshape(L)
+    cnt_ref[0] = errv
+    cnt_ref[1] = outpos
+    cnt_ref[2] = jnp.where(donestep < 0, t_end, donestep)
+    cnt_ref[3] = wpos
+    cnt_ref[4] = zero
+    cnt_ref[5] = zero
+    cnt_ref[6] = zero
+    cnt_ref[7] = zero
 
 
 @functools.partial(jax.jit, static_argnames=("SL", "LN", "W", "T_PAD",
@@ -743,55 +762,56 @@ def _run(stream, hist, fixk, fixf, SL, LN, W, T_PAD, interpret=False):
     return pl.pallas_call(
         kern,
         interpret=interpret,
-        out_shape=(jax.ShapeDtypeStruct((T_PAD, L), jnp.int32),
-                   jax.ShapeDtypeStruct((T_PAD, L), jnp.int32),
-                   jax.ShapeDtypeStruct((8, L), jnp.int32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=(jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
+                   jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
+                   jax.ShapeDtypeStruct((8, SL, LN), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),
-                   pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
-            pltpu.VMEM((WIN, L), jnp.uint32),        # win
-            pltpu.VMEM((NLIT, L), jnp.int32),        # symkey
-            pltpu.VMEM((NDIST, L), jnp.int32),       # distkey
-            pltpu.VMEM((NCL, L), jnp.int32),         # clkey
-            pltpu.VMEM((16, L), jnp.int32),          # limlit
-            pltpu.VMEM((16, L), jnp.int32),          # firstlit
-            pltpu.VMEM((16, L), jnp.int32),          # cntlit
-            pltpu.VMEM((16, L), jnp.int32),          # limdist
-            pltpu.VMEM((16, L), jnp.int32),          # firstdist
-            pltpu.VMEM((16, L), jnp.int32),          # cntdist
-            pltpu.VMEM((16, L), jnp.int32),          # limcl
-            pltpu.VMEM((16, L), jnp.int32),          # firstcl
-            pltpu.VMEM((16, L), jnp.int32),          # cntcl
-            pltpu.VMEM((16, L), jnp.int32),          # runcl
-            pltpu.VMEM((2, CHUNK, L), jnp.int32),    # stage_tok
-            pltpu.VMEM((2, CHUNK, L), jnp.int32),    # stage_lit
-            pltpu.SemaphoreType.DMA((G + 5,)),
+            pltpu.VMEM((WINR, SL, LN), jnp.uint32),    # win
+            pltpu.VMEM((NLIT, SL, LN), jnp.int32),     # symkey
+            pltpu.VMEM((NDIST, SL, LN), jnp.int32),    # distkey
+            pltpu.VMEM((NCL, SL, LN), jnp.int32),      # clkey
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # limlit
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # firstlit
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # cntlit
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # limdist
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # firstdist
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # cntdist
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # limcl
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # firstcl
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # cntcl
+            pltpu.VMEM((16, SL, LN), jnp.int32),       # runcl
+            pltpu.VMEM((2, CHUNK, SL, LN), jnp.int32),  # stage_tok
+            pltpu.VMEM((2, CHUNK, SL, LN), jnp.int32),  # stage_lit
+            pltpu.VMEM((1, SL, LN), jnp.int32),        # mintmp
+            pltpu.SemaphoreType.DMA((NSEM,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(stream, hist, fixk, fixf)
 
 
 def pack_streams(frames, SL=8, LN=128):
-    """Pack per-frame deflate byte streams into the (W, L) word grid.
+    """Pack per-frame deflate byte streams into the (W, SL, LN) word grid.
 
-    Returns (stream u32 (W, L), hist i32 (SL, LN)); frames shorter than
-    L pad with empty lanes. Lanes hold words little-endian (LSB-first
-    bit order), padded with zeros + WIN guard words.
+    Returns (stream u32 (W, SL, LN), W); frames shorter than L pad with
+    empty lanes. Lanes hold words little-endian (LSB-first bit order),
+    padded with zeros + WINR guard words.
     """
     L = SL * LN
     assert len(frames) <= L
     maxb = max((len(f) for f in frames), default=1)
-    W = max((maxb + 3) // 4 + WIN + 2, WIN + 2)
+    W = max((maxb + 3) // 4 + WINR + 2, WINR + 2)
     arr = np.zeros((L, W), np.uint32)
     for i, f in enumerate(frames):
         b = np.frombuffer(bytes(f) + b"\0" * (-len(f) % 4), np.uint32)
         arr[i, :len(b)] = b
-    return np.ascontiguousarray(arr.T), W
+    return np.ascontiguousarray(arr.T).reshape(W, SL, LN), W
 
 
 def fixed_tables():
@@ -813,7 +833,8 @@ def inflate_phase_a(frames, hists=None, SL=8, LN=128, T_PAD=None,
     frames: list of bytes (each one complete deflate stream).
     hists: per-frame history bytes available (0 for folder-first
     frames, 32768 otherwise). Returns (tok (T,L), litw (T,L),
-    counts (8, L)) as numpy arrays.
+    counts (8, L)) as jax arrays (reshaped views of the device
+    result).
     """
     L = SL * LN
     stream, W = pack_streams(frames, SL, LN)
@@ -829,7 +850,8 @@ def inflate_phase_a(frames, hists=None, SL=8, LN=128, T_PAD=None,
     tok, litw, cnt = _run(jnp.asarray(stream), jnp.asarray(hist),
                           jnp.asarray(fixk), jnp.asarray(fixf),
                           SL, LN, W, T_PAD, interpret)
-    return tok, litw, cnt
+    return (tok.reshape(T_PAD, L), litw.reshape(T_PAD, L),
+            cnt.reshape(8, L))
 
 
 def replay_trace(tok_col, litw_col, out_len, hist=b""):

@@ -90,9 +90,12 @@ def plan_archives(paths: List[PathOrBytes]) -> Plan:
 
 
 def execute(plan: Plan, n_threads: int | None = None,
-            errors: dict | None = None) -> dict:
+            errors: dict | None = None, engine: str = "native") -> dict:
     """Run all jobs; returns {(archive_idx, folder_idx): folder_bytes}.
 
+    engine="native" decodes MSZIP folders with the C++ thread pool;
+    engine="tpu" batches them through the Pallas lane-parallel entropy
+    kernel (parallel/tpu_pipeline.py) with the native phase-B resolve.
     Jobs the fast engines decline are re-run through the scalar driver
     so error semantics match the reference exactly. Decode failures are
     recorded in `errors` (same key -> exception) — partial folder bytes
@@ -102,7 +105,16 @@ def execute(plan: Plan, n_threads: int | None = None,
 
     results: dict = {}
     mszip_jobs = [j for j in plan.jobs if j.comp_name == "mszip"]
-    if mszip_jobs:
+    if mszip_jobs and engine == "tpu":
+        import jax
+        from .tpu_pipeline import TpuMszipEngine
+        eng = TpuMszipEngine(interpret=jax.default_backend() == "cpu")
+        outs = eng.decode_folders(
+            [(j.frames, j.sizes) for j in mszip_jobs], n_threads)
+        if outs is not None:
+            for j, out in zip(mszip_jobs, outs):
+                results[(j.archive_idx, j.folder_idx)] = out
+    elif mszip_jobs:
         outs = native.mszip_folders(
             [(j.frames, j.sizes) for j in mszip_jobs], n_threads)
         if outs is not None:
@@ -158,11 +170,12 @@ def execute(plan: Plan, n_threads: int | None = None,
 
 def extract_corpus(paths: List[PathOrBytes],
                    n_threads: int | None = None,
-                   errors: dict | None = None) -> List[dict]:
+                   errors: dict | None = None,
+                   engine: str = "native") -> List[dict]:
     """Decode whole archives: returns per-archive {filename: bytes}.
     Folder decode failures land in `errors` keyed (archive, folder)."""
     plan = plan_archives(paths)
-    folder_bytes = execute(plan, n_threads, errors=errors)
+    folder_bytes = execute(plan, n_threads, errors=errors, engine=engine)
     out = []
     for ai, cab in enumerate(plan.cabinets):
         files = {}

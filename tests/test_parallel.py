@@ -66,3 +66,63 @@ def test_planner_quantum_via_reference_cab():
     assert md5s["mszip.txt"] == "940cba86658fbceb582faecd2b5975d1"
     assert md5s["lzx.txt"] == "703474293b614e7110b3eb8ac2762b53"
     assert md5s["qtm.txt"] == "98fcfa4962a0f169a3c7fdbcb445cf17"
+
+
+def test_tpu_engine_planner_corpus():
+    """MSZIP folders through planner -> Pallas phase A (interpret on
+    CPU) -> native phase B resolve; matches the written files."""
+    import random
+    from libmspack_tpu.compress import cab_c
+    from libmspack_tpu.parallel import planner
+    rng = random.Random(91)
+    # two archives, multi-file; folder decode must chain history
+    archives, expects = [], []
+    for k in range(2):
+        files = [(f"t{k}{i}.bin",
+                  (b"tpu engine corpus " * (40 + i)
+                   + bytes(rng.randrange(256) for _ in range(900))) * 9)
+                 for i in range(2)]
+        archives.append(cab_c.write_cab(files=files, compression="mszip"))
+        expects.append(dict(files))
+    results = planner.extract_corpus(archives, engine="tpu")
+    for got, want in zip(results, expects):
+        assert set(got) == set(want)
+        for n in want:
+            assert got[n] == want[n], n
+
+
+def test_tpu_engine_cab_extract_matches_scalar():
+    """CabDecompressor(engine='tpu') serves files from the Pallas-
+    decoded folder cache, matching the scalar driver byte-for-byte."""
+    from libmspack_tpu.compress import cab_c
+    from libmspack_tpu.formats.cab import CabDecompressor
+    from libmspack_tpu.system import BytesSink
+    files = [("a.txt", b"the quick brown fox jumps " * 700),
+             ("b.txt", bytes(range(256)) * 130)]
+    blob = cab_c.write_cab(files=files, compression="mszip")
+    for engine in ("tpu", "scalar"):
+        d = CabDecompressor(engine=engine)
+        cab = d.open(blob)
+        got = {}
+        for f in cab.files:
+            sink = BytesSink()
+            d.extract(f, sink)
+            got[f.filename] = sink.getvalue()
+        assert got == dict(files), engine
+
+
+def test_tpu_engine_failed_lane_falls_back():
+    """A corrupt frame flags its lane; the engine re-decodes that
+    folder on the host (which also rejects -> None), while a clean
+    batch decodes fine. Error semantics match the native engine's."""
+    from libmspack_tpu.parallel.tpu_pipeline import TpuMszipEngine
+    from libmspack_tpu.compress import mszip_c
+    data = b"fallback lane test " * 400
+    frames = [f[2:] for f in mszip_c.compress_frames(data)]
+    sizes = [min(32768, len(data) - i * 32768) for i in range(len(frames))]
+    eng = TpuMszipEngine(interpret=True)
+    outs = eng.decode_folders([(frames, sizes)])
+    assert outs is not None and outs[0] == data
+    bad_frames = list(frames)
+    bad_frames[0] = b"\x07\xff" + bad_frames[0][2:]  # bad block header
+    assert eng.decode_folders([(bad_frames, sizes)]) is None
