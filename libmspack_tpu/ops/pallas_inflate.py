@@ -85,6 +85,7 @@ BUILD_PERIOD = 32
 DEBUG_LANE = None  # set to a lane id to step-trace it (interpret mode)
 
 
+
 def _canonical_keys(lens, nsyms):
     """Host-side: (len<<16)|rank key per symbol, plus first/limit rows."""
     lens = np.asarray(lens, np.int32)
@@ -269,7 +270,7 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
                 def body(n, s):
                     hit = jnp.logical_and(active, key == tab[n])
                     return jnp.where(hit, n, s)
-                return jax.lax.fori_loop(0, rows, body, vfull(-1))
+                return jax.lax.fori_loop(0, rows, body, nneg1)
             return jax.lax.cond(jnp.any(active), run,
                                 lambda _: nneg1, 0)
         litsym = probe(symkey, NLIT, is_body)
