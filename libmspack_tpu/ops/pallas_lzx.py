@@ -1,0 +1,1095 @@
+"""Pallas TPU kernel: lane-parallel LZX entropy decode (phase A).
+
+Decodes up to LANES independent LZX streams (CAB folders from frame 0,
+CHM reset-interval chunks, OAB DELTA blocks — reference lzxd.c) in one
+kernel launch; each VPU lane owns one stream and decodes at most one
+Huffman symbol per step, emitting tokens into a (step, lane) trace.
+Phase B resolves tokens into bytes (python replay here; native / device
+resolvers downstream). Same architecture as ops/pallas_inflate.py (see
+its docstring for the Mosaic layout rules this file follows: 3-D
+(rows, SL, LN) tables, laneid-derived masks/carries, sublane-row
+window DMA, scalar all-done carry, i32-only min/max).
+
+LZX-specific structure (semantics pinned by codecs/lzx.py, which is
+oracle-verified against the reference):
+
+* MSB bitstream of 16-bit LE units: 32-bit refill words are rotated
+  16 so the unit order is right; peek = high word of a 64-bit buffer.
+* 4 canonical trees — pretree 20 / maintree 256+8*slots / length 250 /
+  aligned 8 — decoded with the shared limit-compare length-find
+  (codes up to 16 bits) + key-equality probes.
+* Main/length code lengths are *delta-coded* against the previous
+  block's lengths: the key tables double as length storage (len is
+  key>>16; ranks are rebuilt at the periodic build event).
+* Match offsets: position slots with arithmetic base/extra tables,
+  R0-R2 LRU, aligned-offset tree for extra>=3 in ALIGNED blocks;
+  LZX DELTA adds a long-match escape and window-tail reference data.
+* The bitstream realigns to 16 bits at every 32 KiB output boundary;
+  uncompressed blocks switch to byte reads after dropping the
+  reference decoder's *exact* buffered-bit count, which we shadow in
+  the `blr` carry (bits_left of readbits.h's lazy 16-bit fill).
+* Ring-window aliasing (offset > window on small windows) splits a
+  match into two linear-history tokens, exactly like codecs/lzx.py.
+
+Token format (int32) per (step, lane), litw plane in parallel:
+  -1                 NOP
+  0x20000000 | n     n in 1..4 literal bytes, LSB-first in litw
+  0x40000000 | len   match of len (2..33024); litw = linear dist
+
+Counts rows: 0=err(0 ok,1 bad,2 T-cap), 1=outpos, 2=end step, 3=wpos,
+4=intel_started, 5=intel_filesize, 6=0, 7=0.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WINR = 256        # per-row stream window, words
+RPD = 4           # steps between row-refresh DMAs
+CHUNK = 128       # token staging rows per HBM flush
+S_ROW, S_TOK, S_LIT, NSEM = 0, 1, 3, 5
+
+NPRE = 20
+NLEN = 250
+NALN = 8
+POSITION_SLOTS = (30, 32, 34, 36, 38, 42, 50, 66, 98, 162, 290)
+
+TOK_NOP = -1
+TOK_LIT = 0x20000000
+TOK_MATCH = 0x40000000
+
+(X_START, X_HDR, X_HDR2, X_BLK, X_ALN, X_PRT, X_WAITPRE, X_LENS,
+ X_LENS2, X_WAITTREES, X_BODY, X_LEN, X_DIST, X_DESC, X_SPLIT,
+ X_UNCA, X_UNCR, X_UNCC, X_REALN, X_DONE, X_ERR) = range(21)
+
+BUILD_PERIOD = 32
+
+DEBUG_LANE = None  # set to a lane id to step-trace it (interpret mode)
+
+
+def _kernel(stream_hbm, outlen_ref, hist_ref,
+            tok_hbm, litw_hbm, cnt_ref,
+            win_ref, mainkey, lenkey, prekey, alnkey,
+            limmain, firstmain, limlen, firstlen,
+            limpre, firstpre, limaln, firstaln,
+            cnttmp, runtmp, stage_tok, stage_lit, mintmp, sems,
+            *, SL, LN, W, T_PAD, WB, DELTA):
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    WSIZE = 1 << WB
+    NSLOTS = POSITION_SLOTS[WB - 15]
+    NMAIN = 256 + (NSLOTS << 3)
+    rowi = jax.lax.broadcasted_iota(i32, (SL, LN), 0)
+    coli = jax.lax.broadcasted_iota(i32, (SL, LN), 1)
+    laneid = rowi * LN + coli
+    rowv = laneid // LN
+    zero = jnp.zeros((SL, LN), i32)
+    zero_u = jnp.zeros((SL, LN), u32)
+    nz = laneid & 0
+    nneg1 = nz - 1
+
+    def vfull(v, dt=i32):
+        return jnp.full((SL, LN), v, dt)
+
+    init_dma = pltpu.make_async_copy(
+        stream_hbm.at[pl.ds(0, WINR)], win_ref, sems.at[S_ROW])
+    init_dma.start()
+    init_dma.wait()
+
+    stage_tok[0] = jnp.full((CHUNK, SL, LN), TOK_NOP, i32)
+    stage_tok[1] = jnp.full((CHUNK, SL, LN), TOK_NOP, i32)
+    stage_lit[0] = jnp.zeros((CHUNK, SL, LN), i32)
+    stage_lit[1] = jnp.zeros((CHUNK, SL, LN), i32)
+
+    def consume(hi, lo, navail, k):
+        """Drop k (0..32) MSB bits from the 64-bit (hi, lo) buffer."""
+        ku = jnp.clip(k, 1, 31).astype(u32)
+        mid = (hi << ku) | (lo >> (u32(32) - ku))
+        hi2 = jnp.where(k == 0, hi, jnp.where(k == 32, lo, mid))
+        lo2 = jnp.where(k == 0, lo,
+                        jnp.where(k == 32, zero_u, lo << ku))
+        return hi2, lo2, navail - k
+
+    def sweep_fetch(off):
+        w = zero_u
+        def body(n, w):
+            return jnp.where(off == n, win_ref[n], w)
+        return jax.lax.fori_loop(0, WINR, body, w)
+
+    def gather17(tab, idx):
+        v = zero
+        def body(n, v):
+            return jnp.where(idx == n, tab[n], v)
+        return jax.lax.fori_loop(0, 17, body, v)
+
+    def ensure_blr(blr, n):
+        """readbits.h lazy fill: while bits_left < n: inject 16."""
+        addv = jnp.where(n - blr > 16, 32, 16)
+        return jnp.where(blr < n, blr + addv, blr)
+
+    def step(state):
+        (t, _alldone, mode, bithi, bitlo, navail, wpos, base, pend,
+         outpos, blr, litword, litcnt, pendlen, pendslot, pendoff,
+         blkrem, blktype, r0, r1, r2, istart, ifsz, prt_i, fillpos,
+         part, runsave, runval, unc_i, split_len, split_dist,
+         err, donestep) = state
+
+        # ---------- stream window refresh (one sublane row) ----------
+        is_wait = jnp.logical_and(jax.lax.rem(t, RPD) == 1, t > 0)
+        @pl.when(is_wait)
+        def _():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(0, WINR), 0],
+                win_ref.at[:, 0], sems.at[S_ROW]).wait()
+        r_prev = jax.lax.rem((t - 1) // RPD, SL)
+        pend = jnp.where(jnp.logical_and(is_wait, rowv == r_prev),
+                         vfull(0), pend)
+        is_issue = jax.lax.rem(t, RPD) == 0
+        r_issue = jax.lax.rem(t // RPD, SL)
+        m_r = rowv == r_issue
+        act_rd = jnp.logical_and(mode < X_DONE, wpos < W)
+        cand = jnp.where(jnp.logical_and(m_r, act_rd), wpos, W)
+        mintmp[0] = cand
+        wmin = jnp.minimum(jnp.min(mintmp[0]), W - WINR)
+        @pl.when(is_issue)
+        def _():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(wmin, WINR), r_issue],
+                win_ref.at[:, r_issue], sems.at[S_ROW]).start()
+        issued = jnp.logical_and(is_issue, m_r)
+        base = jnp.where(issued, wmin, base)
+        pend = jnp.where(issued, vfull(1), pend)
+
+        # ---------- fetch: one conditional 32-bit refill -------------
+        off = wpos - base
+        can = jnp.logical_and(pend == 0, off < WINR)
+        need = jnp.logical_and(navail < 32, jnp.logical_and(can, wpos < W))
+        w = sweep_fetch(jnp.where(need, off, vfull(WINR)))
+        w = (w << u32(16)) | (w >> u32(16))  # 16-bit LE units, MSB order
+        nau = navail.astype(u32)
+        bithi = jnp.where(need & (navail == 0), w, bithi)
+        shr = jnp.clip(navail, 1, 31).astype(u32)
+        bithi = jnp.where(need & (navail > 0) & (navail < 32),
+                         bithi | (w >> shr), bithi)
+        lo_in = w << (u32(32) - shr)
+        bitlo = jnp.where(need & (navail > 0) & (navail < 32),
+                          bitlo | lo_in, bitlo)
+        bitlo = jnp.where(need & (navail == 32), w, bitlo)
+        navail = navail + jnp.where(need, 32, 0)
+        wpos = jnp.where(need, wpos + 1, wpos)
+        at_end = jnp.logical_and(navail < 32, wpos >= W)
+        navail = jnp.where(at_end, 64, navail)
+
+        go = navail >= 32
+        peek32 = bithi
+
+        def peekk(k):
+            return (bithi >> (u32(32) - k.astype(u32))).astype(i32)
+
+        is_body = jnp.logical_and(go, mode == X_BODY)
+        is_len = jnp.logical_and(go, mode == X_LEN)
+        is_lens = jnp.logical_and(go, mode == X_LENS)
+        is_lens2 = jnp.logical_and(go, mode == X_LENS2)
+        is_dist = jnp.logical_and(go, mode == X_DIST)
+
+        # which slot needs the aligned-offset tree this step?
+        eslot = jnp.where(is_dist, pendslot, 0)
+        e_bits = jnp.where(eslot < 4, 0,
+                           jnp.minimum((eslot >> 1) - 1, 17))
+        dist_aln = jnp.logical_and(
+            is_dist, jnp.logical_and(blktype == 2, e_bits >= 3))
+
+        # ---------- shared canonical length-find (codes <= 16) -------
+        # tree select: 0 main, 1 length, 2 pretree, 3 aligned
+        lim0 = jnp.where(is_body, 0,
+                         jnp.where(is_len, 1,
+                                   jnp.where(is_lens | is_lens2, 2, 3)))
+        vb = jnp.where(dist_aln, e_bits - 3, 0)
+        blosrc = jnp.where(dist_aln,
+                           bithi << jnp.clip(vb, 0, 14).astype(u32),
+                           bithi)
+        length = vfull(17)
+        code = zero
+        rank = zero
+        def lf(l, st):
+            length, acc, code, rank = st
+            bit = ((blosrc >> (u32(32) - u32(l))) & u32(1)).astype(i32)
+            c = (acc << 1) | bit
+            lim = jnp.where(
+                lim0 == 0, limmain[l],
+                jnp.where(lim0 == 1, limlen[l],
+                          jnp.where(lim0 == 2, limpre[l], limaln[l])))
+            fst = jnp.where(
+                lim0 == 0, firstmain[l],
+                jnp.where(lim0 == 1, firstlen[l],
+                          jnp.where(lim0 == 2, firstpre[l],
+                                    firstaln[l])))
+            hit = jnp.logical_and(c < lim, length == 17)
+            return (jnp.where(hit, l, length), c,
+                    jnp.where(hit, c, code),
+                    jnp.where(hit, c - fst, rank))
+        length, _, code, rank = jax.lax.fori_loop(
+            1, 17, lf, (length, zero, code, rank))
+        key = (length << 16) | rank
+        codelen_ok = length < 17
+        length = jnp.where(length == 17, 0, length)
+
+        # ---------- symbol probes ------------------------------------
+        def probe(tab, rows, active):
+            def run(_):
+                def body(n, s):
+                    hit = jnp.logical_and(active, key == tab[n])
+                    return jnp.where(hit, n, s)
+                return jax.lax.fori_loop(0, rows, body, nneg1)
+            return jax.lax.cond(jnp.any(active), run,
+                                lambda _: nneg1, 0)
+        mainsym = probe(mainkey, NMAIN, is_body)
+        lensym = probe(lenkey, NLEN, is_len)
+        presym = probe(prekey, NPRE, is_lens | is_lens2)
+        alnsym = probe(alnkey, NALN, dist_aln)
+
+        tok = vfull(TOK_NOP)
+        litw_out = zero
+        new_mode = mode
+        new_err = err
+        k = zero
+
+        def seterr(cond, m, e):
+            return (jnp.where(cond, X_ERR, m), jnp.where(cond, 1, e))
+
+        frame_end = jnp.minimum(((outpos >> 15) + 1) << 15,
+                                outlen_ref[:])
+
+        # ---------- X_START / X_HDR / X_HDR2 -------------------------
+        is_st = jnp.logical_and(go, mode == X_START)
+        if DELTA:
+            k = k + jnp.where(is_st, 16, 0)
+            blr = jnp.where(is_st, ensure_blr(blr, 16) - 16, blr)
+        new_mode = jnp.where(is_st, X_HDR, new_mode)
+
+        is_h = jnp.logical_and(go, mode == X_HDR)
+        hbit = jnp.where(is_h, peekk(vfull(1)), 0)
+        k = k + jnp.where(is_h, 1, 0)
+        blr = jnp.where(is_h, ensure_blr(blr, 1) - 1, blr)
+        new_mode = jnp.where(is_h & (hbit > 0), X_HDR2, new_mode)
+        new_mode = jnp.where(is_h & (hbit == 0), X_BLK, new_mode)
+
+        is_h2 = jnp.logical_and(go, mode == X_HDR2)
+        fsz = jnp.where(is_h2, peekk(vfull(32)), 0)
+        ifsz = jnp.where(is_h2, fsz, ifsz)
+        k = k + jnp.where(is_h2, 32, 0)
+        blr = jnp.where(is_h2,
+                        ensure_blr(ensure_blr(blr, 16) - 16, 16) - 16,
+                        blr)
+        new_mode = jnp.where(is_h2, X_BLK, new_mode)
+
+        # ---------- X_BLK: 3-bit type + 24-bit size ------------------
+        is_bk = jnp.logical_and(go, mode == X_BLK)
+        p27 = peekk(vfull(27))
+        btype = jnp.where(is_bk, p27 >> 24, 0)
+        bsize = p27 & 0xFFFFFF
+        k = k + jnp.where(is_bk, 27, 0)
+        blr = jnp.where(
+            is_bk,
+            ensure_blr(ensure_blr(ensure_blr(blr, 3) - 3, 16) - 16,
+                       8) - 8, blr)
+        blktype = jnp.where(is_bk, btype, blktype)
+        blkrem = jnp.where(is_bk, bsize, blkrem)
+        bk_bad = jnp.logical_and(is_bk, (btype == 0) | (btype > 3))
+        new_mode = jnp.where(is_bk & (btype == 1), X_PRT, new_mode)
+        new_mode = jnp.where(is_bk & (btype == 2), X_ALN, new_mode)
+        new_mode = jnp.where(is_bk & (btype == 3), X_UNCA, new_mode)
+        istart = jnp.where(is_bk & (btype == 3), vfull(1), istart)
+        prt_i = jnp.where(is_bk, 0, prt_i)
+        part = jnp.where(is_bk, 0, part)
+        new_mode, new_err = seterr(bk_bad, new_mode, new_err)
+
+        # ---------- X_ALN: 8 x 3-bit aligned lengths -----------------
+        is_al = jnp.logical_and(go, mode == X_ALN)
+        k = k + jnp.where(is_al, 24, 0)
+        def blr8(b):
+            def bb(i, b):
+                return ensure_blr(b, 3) - 3
+            return jax.lax.fori_loop(0, 8, bb, b)
+        blr = jnp.where(is_al, blr8(blr), blr)
+        @pl.when(jnp.any(is_al))
+        def _():
+            def wr(n, _):
+                v = (peek32 >> (u32(29) - u32(3) * u32(n))).astype(i32) & 7
+                alnkey[n] = jnp.where(is_al, v << 16, alnkey[n])
+                return 0
+            jax.lax.fori_loop(0, NALN, wr, 0)
+        new_mode = jnp.where(is_al, X_PRT, new_mode)
+
+        # ---------- X_PRT: up to 8 pretree nibbles per step ----------
+        is_pr = jnp.logical_and(go, mode == X_PRT)
+        nnib = jnp.clip(20 - prt_i * 8, 0, 8)
+        k = k + jnp.where(is_pr, nnib * 4, 0)
+        def blrn(b, m):
+            def bb(i, b):
+                return jnp.where(i < m, ensure_blr(b, 4) - 4, b)
+            return jax.lax.fori_loop(0, 8, bb, b)
+        blr = jnp.where(is_pr, blrn(blr, nnib), blr)
+        @pl.when(jnp.any(is_pr))
+        def _():
+            def wr(n, _):
+                j = n - prt_i * 8
+                inw = is_pr & (j >= 0) & (j < nnib)
+                sh = (u32(28) - u32(4) * jnp.clip(j, 0, 7).astype(u32))
+                v = (peek32 >> sh).astype(i32) & 15
+                prekey[n] = jnp.where(inw, v << 16, prekey[n])
+                return 0
+            jax.lax.fori_loop(0, NPRE, wr, 0)
+        prt_i = prt_i + jnp.where(is_pr, 1, 0)
+        new_mode = jnp.where(is_pr & (prt_i >= 3), X_WAITPRE, new_mode)
+        # RLE fill window per part
+        fillpos = jnp.where(is_pr & (prt_i >= 3),
+                            jnp.where(part == 1, 256, 0), fillpos)
+
+        # ---------- X_LENS: one pretree RLE op per step --------------
+        # length tree delta-codes NUM_SECONDARY_LENGTHS = 249 entries
+        # (row 249 is the never-coded padding symbol, lzx.h:54)
+        last = jnp.where(part == 0, 256,
+                         jnp.where(part == 1, NMAIN, NLEN - 1))
+        l_bad = jnp.logical_and(is_lens,
+                                jnp.logical_or(~codelen_ok, presym < 0))
+        pz = jnp.maximum(presym, 0)
+        pl_lit = jnp.logical_and(is_lens, jnp.logical_and(presym >= 0,
+                                                          presym < 17))
+        pl17 = jnp.logical_and(is_lens, presym == 17)
+        pl18 = jnp.logical_and(is_lens, presym == 18)
+        pl19 = jnp.logical_and(is_lens, presym == 19)
+        rext = jnp.where(pl17, 4, jnp.where(pl18, 5,
+                                            jnp.where(pl19, 1, 0)))
+        rvraw = ((bithi >> (u32(32) - jnp.clip(length + rext, 1, 31)
+                            .astype(u32))).astype(i32)
+                 & ((1 << rext) - 1))
+        k = k + jnp.where(is_lens & ~l_bad, length + rext, 0)
+        blr = jnp.where(is_lens & ~l_bad,
+                        ensure_blr(blr, 16) - length, blr)
+        blr = jnp.where((pl17 | pl18 | pl19) & ~l_bad,
+                        ensure_blr(blr, rext) - rext, blr)
+        run = jnp.where(pl_lit, 1,
+                        jnp.where(pl17, 4 + rvraw,
+                                  jnp.where(pl18, 20 + rvraw, 0)))
+        runsave = jnp.where(pl19, 4 + rvraw, runsave)
+        wr_rle = jnp.logical_and(is_lens & ~l_bad, pl_lit | pl17 | pl18)
+        # is_lens2: second pretree sym for code 19
+        l2_bad = jnp.logical_and(is_lens2,
+                                 jnp.logical_or(~codelen_ok, presym < 0))
+        k = k + jnp.where(is_lens2 & ~l2_bad, length, 0)
+        blr = jnp.where(is_lens2 & ~l2_bad,
+                        ensure_blr(blr, 16) - length, blr)
+        wr2 = jnp.logical_and(is_lens2, ~l2_bad)
+        anywr = jnp.any(wr_rle | wr2)
+        runw = jnp.where(wr2, runsave, run)
+        # sym-19 repeats ONE value derived from the run-start row
+        # (scalar: value = lens[pos] - sym2, same for the whole run)
+        def gfill(tab, rows, active):
+            def run_(_):
+                def body(n, sacc):
+                    return jnp.where(active & (fillpos == n),
+                                     tab[n] >> 16, sacc)
+                return jax.lax.fori_loop(0, rows, body, nz)
+            return jax.lax.cond(jnp.any(active), run_, lambda _: nz, 0)
+        old19 = (gfill(mainkey, NMAIN, wr2 & (part < 2))
+                 + gfill(lenkey, NLEN, wr2 & (part == 2)))
+        rv19 = old19 - pz
+        rv19 = jnp.where(rv19 < 0, rv19 + 17, rv19) & 0xFF
+        runval = jnp.where(wr2, rv19, runval)
+        @pl.when(anywr)
+        def _():
+            m_any = wr_rle | wr2
+            tomain = part < 2
+            def wrm(n, _):
+                inr = (m_any & tomain & (n >= fillpos)
+                       & (n < fillpos + runw))
+                oldv = mainkey[n] >> 16
+                pv = jnp.where(oldv - pz < 0, oldv - pz + 17,
+                               oldv - pz) & 0xFF
+                nv = jnp.where(wr2, runval, jnp.where(pl_lit, pv, 0))
+                mainkey[n] = jnp.where(inr, nv << 16, mainkey[n])
+                return 0
+            jax.lax.fori_loop(0, NMAIN, wrm, 0)
+            def wrl(n, _):
+                inr = (m_any & ~tomain & (n >= fillpos)
+                       & (n < fillpos + runw))
+                oldv = lenkey[n] >> 16
+                pv = jnp.where(oldv - pz < 0, oldv - pz + 17,
+                               oldv - pz) & 0xFF
+                nv = jnp.where(wr2, runval, jnp.where(pl_lit, pv, 0))
+                lenkey[n] = jnp.where(inr, nv << 16, lenkey[n])
+                return 0
+            jax.lax.fori_loop(0, NLEN, wrl, 0)
+        fillpos = fillpos + jnp.where(wr_rle | wr2, runw, 0)
+        new_mode = jnp.where(pl19 & ~l_bad, X_LENS2, new_mode)
+        new_mode = jnp.where(wr2, X_LENS, new_mode)
+        done_part = jnp.logical_and(wr_rle | wr2, fillpos >= last)
+        part2 = part + jnp.where(done_part, 1, 0)
+        new_mode = jnp.where(done_part & (part2 <= 2), X_PRT, new_mode)
+        new_mode = jnp.where(done_part & (part2 > 2), X_WAITTREES,
+                             new_mode)
+        prt_i = jnp.where(done_part, 0, prt_i)
+        part = part2
+        new_mode, new_err = seterr(l_bad | l2_bad, new_mode, new_err)
+
+        # ---------- X_BODY: main tree symbol -------------------------
+        b_bad = jnp.logical_and(is_body,
+                                jnp.logical_or(~codelen_ok, mainsym < 0))
+        k = k + jnp.where(is_body & ~b_bad, length, 0)
+        blr = jnp.where(is_body & ~b_bad,
+                        ensure_blr(blr, 16) - length, blr)
+        is_lit = jnp.logical_and(is_body & ~b_bad, mainsym < 256)
+        is_mt = jnp.logical_and(is_body & ~b_bad, mainsym >= 256)
+        sym = jnp.maximum(mainsym, 0)
+        v = sym - 256
+        mslot = v >> 3
+        mlhdr = v & 7
+        pendslot = jnp.where(is_mt, mslot, pendslot)
+        pendlen = jnp.where(is_mt, mlhdr + 2, pendlen)
+        # literal packing (4 per token); `outpos` counts FLUSHED
+        # bytes, so edges must use the effective position incl. the
+        # packed-but-unflushed tail (eff), else a lane whose output
+        # ends mid-word would decode past its end
+        litword2 = jnp.where(is_lit & (litcnt == 0), sym, litword)
+        litword2 = jnp.where(is_lit & (litcnt > 0),
+                             litword | (sym << (8 * litcnt)), litword2)
+        litcnt2 = jnp.where(is_lit, litcnt + 1, litcnt)
+        blkrem = blkrem - jnp.where(is_lit, 1, 0)
+        eff = outpos + jnp.where(is_lit, litcnt2, 0)
+        lit_edge = jnp.logical_and(
+            is_lit, (eff == frame_end) | (blkrem == 0)
+            | (eff >= outlen_ref[:]))
+        flush4 = jnp.logical_and(is_lit, litcnt2 == 4)
+        flushn = jnp.logical_and(is_mt, litcnt > 0)
+        do_flush = flush4 | flushn | lit_edge
+        nflush = jnp.where(flushn, litcnt, litcnt2)
+        tok = jnp.where(do_flush, TOK_LIT | nflush, tok)
+        litw_out = jnp.where(do_flush,
+                             jnp.where(flushn, litword, litword2),
+                             litw_out)
+        outpos = outpos + jnp.where(do_flush, nflush, 0)
+        litcnt = jnp.where(do_flush, 0, litcnt2)
+        litword = jnp.where(do_flush, 0, litword2)
+        b_bad2 = jnp.logical_and(is_lit, blkrem < 0)
+        lempty = limlen[16] == 0
+        b_bad4 = jnp.logical_and(is_mt & (mlhdr == 7), lempty)
+        new_mode = jnp.where(is_mt & (mlhdr == 7) & ~b_bad4, X_LEN,
+                             new_mode)
+        new_mode = jnp.where(is_mt & (mlhdr < 7), X_DIST, new_mode)
+        new_mode, new_err = seterr(b_bad | b_bad2 | b_bad4,
+                                   new_mode, new_err)
+        new_mode = jnp.where(
+            lit_edge & (eff >= outlen_ref[:]), X_DONE,
+            jnp.where(lit_edge & (eff == frame_end), X_REALN,
+                      jnp.where(lit_edge, X_BLK, new_mode)))
+
+        # ---------- X_LEN: length-tree symbol ------------------------
+        ln_bad = jnp.logical_and(is_len,
+                                 jnp.logical_or(~codelen_ok, lensym < 0))
+        k = k + jnp.where(is_len & ~ln_bad, length, 0)
+        blr = jnp.where(is_len & ~ln_bad,
+                        ensure_blr(blr, 16) - length, blr)
+        pendlen = pendlen + jnp.where(is_len & ~ln_bad,
+                                      jnp.maximum(lensym, 0), 0)
+        new_mode = jnp.where(is_len & ~ln_bad, X_DIST, new_mode)
+        new_mode, new_err = seterr(ln_bad, new_mode, new_err)
+
+        # ---------- X_DIST: offset resolution ------------------------
+        d_act = is_dist
+        slot = pendslot
+        # arithmetic position base (slots < 38 closed form, then linear)
+        eb = jnp.where(slot < 4, 0, jnp.minimum((slot >> 1) - 1, 17))
+        pbase = jnp.where(
+            slot < 2, slot,
+            jnp.where(slot < 38,
+                      ((2 + (slot & 1)) << jnp.maximum(eb, 0)),
+                      524288 + (slot - 38) * 131072))
+        d_aln = dist_aln
+        d_verb = jnp.logical_and(d_act, jnp.logical_and(slot >= 3,
+                                                        ~d_aln)
+                                 & (eb > 0))
+        verb_n = jnp.where(d_aln, jnp.maximum(eb - 3, 0),
+                           jnp.where(d_verb, eb, 0))
+        verb = jnp.where(
+            verb_n > 0,
+            (bithi >> (u32(32) - jnp.clip(verb_n, 1, 31).astype(u32))
+             ).astype(i32), 0)
+        aln_bad = jnp.logical_and(d_aln,
+                                  jnp.logical_or(~codelen_ok,
+                                                 alnsym < 0))
+        offs = pbase - 2 + jnp.where(d_aln, (verb << 3)
+                                     + jnp.maximum(alnsym, 0),
+                                     jnp.where(d_verb, verb, 0))
+        offs = jnp.where(slot == 0, r0,
+                         jnp.where(slot == 1, r1,
+                                   jnp.where(slot == 2, r2, offs)))
+        # LRU update
+        nr0 = jnp.where(d_act, offs, r0)
+        nr1 = jnp.where(d_act & (slot == 1), r0,
+                        jnp.where(d_act & (slot >= 3), r0, r1))
+        nr2 = jnp.where(d_act & (slot == 2), r0,
+                        jnp.where(d_act & (slot >= 3), r1, r2))
+        r0 = jnp.where(d_act & ~aln_bad, nr0, r0)
+        r1 = jnp.where(d_act & ~aln_bad, nr1, r1)
+        r2 = jnp.where(d_act & ~aln_bad, nr2, r2)
+        kd = verb_n + jnp.where(d_aln, length, 0)
+        k = k + jnp.where(d_act & ~aln_bad, kd, 0)
+        def blrd(b):
+            b = jnp.where(verb_n > 0, ensure_blr(b, verb_n) - verb_n, b)
+            b = jnp.where(d_aln, ensure_blr(b, 16) - length, b)
+            return b
+        blr = jnp.where(d_act & ~aln_bad, blrd(blr), blr)
+        pendoff = jnp.where(d_act, offs, pendoff)
+        need_esc = jnp.logical_and(d_act, vfull(1 if DELTA else 0) > 0) \
+            & (pendlen == 257)
+        new_mode = jnp.where(need_esc & ~aln_bad, X_DESC, new_mode)
+        new_mode, new_err = seterr(aln_bad, new_mode, new_err)
+
+        # ---------- X_DESC: DELTA long-match escape ------------------
+        is_dc = jnp.logical_and(go, mode == X_DESC)
+        if DELTA:
+            e3 = peekk(vfull(3))
+            esc0 = (e3 >> 2) == 0
+            esc10 = (e3 >> 1) == 2
+            esc110 = e3 == 6
+            ehdr = jnp.where(esc0, 1, jnp.where(esc10, 2, 3))
+            eb2 = jnp.where(esc0, 8,
+                            jnp.where(esc10, 10,
+                                      jnp.where(esc110, 12, 15)))
+            eadd = jnp.where(esc10, 0x100, jnp.where(esc110, 0x500, 0))
+            eval_ = ((bithi >> (u32(32) - (ehdr + eb2).astype(u32)))
+                     .astype(i32) & ((1 << eb2) - 1))
+            pendlen = pendlen + jnp.where(is_dc, eval_ + eadd, 0)
+            k = k + jnp.where(is_dc, ehdr + eb2, 0)
+            def blre(b):
+                b = ensure_blr(b, 3) - ehdr
+                return ensure_blr(b, eb2) - eb2
+            blr = jnp.where(is_dc, blre(blr), blr)
+
+        # ---------- match emission (X_DIST w/o escape, X_DESC) -------
+        emit = jnp.logical_and(d_act & ~aln_bad, ~need_esc) | is_dc
+        lap = outpos & (WSIZE - 1)
+        moff = pendoff
+        m_bad = jnp.logical_and(emit, lap + pendlen > WSIZE)
+        tail = moff - lap
+        wrapd = jnp.logical_and(emit, moff > lap)
+        m_bad = m_bad | jnp.logical_and(
+            wrapd, jnp.logical_and(moff > outpos, tail > hist_ref[:]))
+        m_bad = m_bad | jnp.logical_and(wrapd, tail > WSIZE)
+        do_split = jnp.logical_and(wrapd & ~m_bad,
+                                   jnp.logical_and(moff > WSIZE,
+                                                   pendlen > tail))
+        alias = jnp.logical_and(wrapd & ~m_bad, moff > WSIZE)
+        len1 = jnp.where(alias, jnp.minimum(pendlen, tail), pendlen)
+        dist1 = jnp.where(alias, moff - WSIZE, moff)
+        emit_ok = emit & ~m_bad
+        tok = jnp.where(emit_ok, TOK_MATCH | len1, tok)
+        litw_out = jnp.where(emit_ok, dist1, litw_out)
+        outpos = outpos + jnp.where(emit_ok, len1, 0)
+        blkrem = blkrem - jnp.where(emit_ok, pendlen, 0)
+        m_bad = m_bad | jnp.logical_and(emit, blkrem < 0)
+        m_bad = m_bad | jnp.logical_and(
+            emit_ok, outpos + jnp.where(do_split, pendlen - len1, 0)
+            > frame_end)
+        split_len = jnp.where(do_split, pendlen - len1, split_len)
+        split_dist = jnp.where(do_split, moff, split_dist)
+        new_mode = jnp.where(emit_ok & do_split, X_SPLIT, new_mode)
+        m_edge = jnp.logical_and(emit_ok & ~do_split,
+                                 (outpos == frame_end) | (blkrem == 0)
+                                 | (outpos >= outlen_ref[:]))
+        new_mode = jnp.where(emit_ok & ~do_split & ~m_edge, X_BODY,
+                             new_mode)
+        new_mode = jnp.where(
+            m_edge & (outpos >= outlen_ref[:]), X_DONE,
+            jnp.where(m_edge & (outpos == frame_end), X_REALN,
+                      jnp.where(m_edge, X_BLK, new_mode)))
+        new_mode, new_err = seterr(m_bad, new_mode, new_err)
+
+        # ---------- X_SPLIT: second half of an aliased match ---------
+        is_sp = mode == X_SPLIT   # no bits consumed; always runs
+        tok = jnp.where(is_sp, TOK_MATCH | split_len, tok)
+        litw_out = jnp.where(is_sp, split_dist, litw_out)
+        outpos = outpos + jnp.where(is_sp, split_len, 0)
+        s_edge = jnp.logical_and(is_sp,
+                                 (outpos == frame_end) | (blkrem == 0)
+                                 | (outpos >= outlen_ref[:]))
+        new_mode = jnp.where(is_sp & ~s_edge, X_BODY, new_mode)
+        new_mode = jnp.where(
+            s_edge & (outpos >= outlen_ref[:]), X_DONE,
+            jnp.where(s_edge & (outpos == frame_end), X_REALN,
+                      jnp.where(s_edge, X_BLK, new_mode)))
+
+        # ---------- X_UNCA: drop to reference byte position ----------
+        is_ua = jnp.logical_and(go, mode == X_UNCA)
+        dk = jnp.where(blr == 0, 16, blr)
+        k = k + jnp.where(is_ua, dk, 0)
+        blr = jnp.where(is_ua, 0, blr)
+        unc_i = jnp.where(is_ua, 0, unc_i)
+        new_mode = jnp.where(is_ua, X_UNCR, new_mode)
+
+        # ---------- X_UNCR: R0/R1/R2 as raw LE dwords ----------------
+        is_ur = jnp.logical_and(go, mode == X_UNCR)
+        rv = ((peek32 << 16) | ((peek32 >> 16) & 0xFFFF))
+        r0 = jnp.where(is_ur & (unc_i == 0), rv, r0)
+        r1 = jnp.where(is_ur & (unc_i == 1), rv, r1)
+        r2 = jnp.where(is_ur & (unc_i == 2), rv, r2)
+        k = k + jnp.where(is_ur, 32, 0)
+        unc_i = unc_i + jnp.where(is_ur, 1, 0)
+        new_mode = jnp.where(is_ur & (unc_i >= 3), X_UNCC, new_mode)
+        ub_bad = jnp.logical_and(is_ur & (unc_i >= 3), blkrem == 0)
+        # zero-length uncompressed block: straight to next block
+        new_mode = jnp.where(
+            ub_bad, jnp.where(outpos == frame_end, X_REALN, X_BLK),
+            new_mode)
+
+        # ---------- X_UNCC: 4 raw bytes per step ---------------------
+        is_uc = jnp.logical_and(go, mode == X_UNCC)
+        ntk = jnp.minimum(jnp.minimum(blkrem, 4), frame_end - outpos)
+        ntk = jnp.where(ntk >= 4, 4, jnp.where(ntk >= 2, 2, ntk))
+        lw4 = ((peek32 << 16) | ((peek32 >> 16) & 0xFFFF))
+        lw2 = peekk(vfull(16))
+        lw1 = lw2 & 0xFF
+        tok = jnp.where(is_uc, TOK_LIT | ntk, tok)
+        litw_out = jnp.where(is_uc,
+                             jnp.where(ntk == 4, lw4,
+                                       jnp.where(ntk == 2, lw2, lw1)),
+                             litw_out)
+        # odd final byte consumes its pad unit too
+        k = k + jnp.where(is_uc, jnp.where(ntk == 4, 32, 16), 0)
+        outpos = outpos + jnp.where(is_uc, ntk, 0)
+        blkrem = blkrem - jnp.where(is_uc, ntk, 0)
+        u_edge = jnp.logical_and(is_uc,
+                                 (outpos == frame_end) | (blkrem == 0)
+                                 | (outpos >= outlen_ref[:]))
+        new_mode = jnp.where(
+            u_edge & (outpos >= outlen_ref[:]), X_DONE,
+            jnp.where(u_edge & (outpos == frame_end), X_REALN,
+                      jnp.where(u_edge & (blkrem == 0), X_BLK,
+                                new_mode)))
+
+        # ---------- X_REALN: 16-bit realign at frame boundary --------
+        is_rl = jnp.logical_and(go, mode == X_REALN)
+        ralk = navail & 15
+        k = k + jnp.where(is_rl, ralk + (16 if DELTA else 0), 0)
+        def blrr(b):
+            b = jnp.where((b > 0) & (b < 16), b + 16, b)
+            b = b - (b & 15)
+            if DELTA:
+                b = ensure_blr(b, 16) - 16
+            return b
+        blr = jnp.where(is_rl, blrr(blr), blr)
+        new_mode = jnp.where(
+            is_rl, jnp.where(blkrem == 0, X_BLK,
+                             jnp.where(blktype == 3, X_UNCC, X_BODY)),
+            new_mode)
+
+        # ---------- consume ------------------------------------------
+        bithi, bitlo, navail = consume(bithi, bitlo, navail, k)
+
+        # ---------- periodic build event -----------------------------
+        wait_pre = new_mode == X_WAITPRE
+        wait_tr = new_mode == X_WAITTREES
+        do_build = jnp.logical_and(
+            jax.lax.rem(t, BUILD_PERIOD) == BUILD_PERIOD - 1,
+            jnp.any(jnp.logical_or(wait_pre, wait_tr)))
+
+        def build_tree(keytab, rows, m, first, lim):
+            """Recompute counts+ranks from stored lens; fill
+            first/limit; returns limit16 (completeness checks)."""
+            def zc(n, _):
+                cnttmp[n] = jnp.where(m, zero, cnttmp[n])
+                runtmp[n] = jnp.where(m, zero, runtmp[n])
+                return 0
+            jax.lax.fori_loop(0, 17, zc, 0)
+            def cpass(n, _):
+                lv = keytab[n] >> 16
+                ok = m & (lv >= 1) & (lv <= 16)
+                def upc(v, _):
+                    cnttmp[v] = cnttmp[v] + jnp.where(ok & (lv == v),
+                                                      vfull(1), zero)
+                    return 0
+                jax.lax.fori_loop(1, 17, upc, 0)
+                return 0
+            jax.lax.fori_loop(0, rows, cpass, 0)
+            first[0] = jnp.where(m, zero, first[0])
+            lim[0] = jnp.where(m, zero, lim[0])
+            def fl(l, _):
+                fv = (first[l - 1] + cnttmp[l - 1]) << 1
+                first[l] = jnp.where(m, fv, first[l])
+                lim[l] = jnp.where(m, fv + cnttmp[l], lim[l])
+                return 0
+            jax.lax.fori_loop(1, 17, fl, 0)
+            def rpass(n, _):
+                lv = keytab[n] >> 16
+                ok = m & (lv >= 1) & (lv <= 16)
+                rk = gather17(runtmp, jnp.where(ok, lv, 0))
+                keytab[n] = jnp.where(ok, (lv << 16) | rk, keytab[n])
+                def upr(v, _):
+                    runtmp[v] = runtmp[v] + jnp.where(ok & (lv == v),
+                                                      vfull(1), zero)
+                    return 0
+                jax.lax.fori_loop(1, 17, upr, 0)
+                return 0
+            jax.lax.fori_loop(0, rows, rpass, 0)
+            return lim[16]
+
+        @pl.when(do_build)
+        def _():
+            build_tree(prekey, NPRE, wait_pre, firstpre, limpre)
+            build_tree(mainkey, NMAIN, wait_tr, firstmain, limmain)
+            build_tree(lenkey, NLEN, wait_tr, firstlen, limlen)
+            build_tree(alnkey, NALN, wait_tr & (blktype == 2),
+                       firstaln, limaln)
+
+        built = jnp.logical_and(do_build,
+                                jnp.logical_or(wait_pre, wait_tr))
+        def post_build(_):
+            bad_pre = wait_pre & (limpre[16] != 65536)
+            bad_main = wait_tr & (limmain[16] != 65536)
+            lemp = limlen[16] == 0
+            bad_len = wait_tr & ~lemp & (limlen[16] != 65536)
+            bad_aln = wait_tr & (blktype == 2) & (limaln[16] != 65536)
+            e8on = wait_tr & ((mainkey[0xE8] >> 16) > 0)
+            return (jnp.where(bad_pre | bad_main | bad_len | bad_aln,
+                              1, 0), jnp.where(e8on, 1, 0))
+        bad_tbl, e8flag = jax.lax.cond(
+            do_build, post_build, lambda _: (nz, nz), 0)
+        istart = jnp.where(jnp.logical_and(built, e8flag > 0),
+                           vfull(1), istart)
+        new_mode = jnp.where(jnp.logical_and(built, wait_pre), X_LENS,
+                             new_mode)
+        new_mode = jnp.where(jnp.logical_and(built, wait_tr), X_BODY,
+                             new_mode)
+        new_mode, new_err = seterr(
+            jnp.logical_and(built, bad_tbl > 0), new_mode, new_err)
+
+        # ---------- emit token row -----------------------------------
+        row = jax.lax.rem(t, CHUNK)
+        slotc = jax.lax.rem(t // CHUNK, 2)
+        stage_tok[slotc, row] = tok
+        stage_lit[slotc, row] = litw_out
+        @pl.when(row == CHUNK - 1)
+        def _():
+            c = t // CHUNK
+            @pl.when(c >= 2)
+            def _():
+                pltpu.make_async_copy(stage_tok.at[0],
+                                      tok_hbm.at[pl.ds(0, CHUNK)],
+                                      sems.at[S_TOK + slotc]).wait()
+                pltpu.make_async_copy(stage_lit.at[0],
+                                      litw_hbm.at[pl.ds(0, CHUNK)],
+                                      sems.at[S_LIT + slotc]).wait()
+            pltpu.make_async_copy(
+                stage_tok.at[slotc],
+                tok_hbm.at[pl.ds(c * CHUNK, CHUNK)],
+                sems.at[S_TOK + slotc]).start()
+            pltpu.make_async_copy(
+                stage_lit.at[slotc],
+                litw_hbm.at[pl.ds(c * CHUNK, CHUNK)],
+                sems.at[S_LIT + slotc]).start()
+
+        if DEBUG_LANE is not None:
+            gl = DEBUG_LANE
+            def ext(v):
+                return jnp.sum(jnp.where(laneid == gl, v.astype(i32), 0))
+            pl.debug_print(
+                "t={} mode={} nm={} na={} k={} len={} key={} sym={} "
+                "out={} blkrem={} fp={} part={} blr={} hi={} err={}",
+                t, ext(mode), ext(new_mode), ext(navail), ext(k),
+                ext(length), ext(key),
+                ext(jnp.where(is_body, mainsym,
+                              jnp.where(is_lens | is_lens2, presym,
+                                        lensym))),
+                ext(outpos), ext(blkrem), ext(fillpos), ext(part),
+                ext(blr), ext((bithi >> u32(17)).astype(i32)), ext(new_err))
+
+        donestep = jnp.where(
+            jnp.logical_and(donestep < 0, new_mode >= X_DONE), t,
+            donestep)
+        alldone = jnp.where(jnp.all(new_mode >= X_DONE),
+                            jnp.int32(1), jnp.int32(0))
+        return (t + 1, alldone, new_mode, bithi, bitlo, navail, wpos,
+                base, pend, outpos, blr, litword, litcnt, pendlen,
+                pendslot, pendoff, blkrem, blktype, r0, r1, r2, istart,
+                ifsz, prt_i, fillpos, part, runsave, runval, unc_i,
+                split_len, split_dist, new_err, donestep)
+
+    def cond(state):
+        t, alldone = state[0], state[1]
+        return jnp.logical_and(t < T_PAD, alldone == 0)
+
+    nz_u = nz.astype(u32)
+    init = (jnp.int32(0), jnp.int32(0), nz + X_START, nz_u, nz_u,
+            nz, nz, nz, nz, nz, nz, nz, nz, nz, nz, nz,
+            nz, nz, nz + 1, nz + 1, nz + 1, nz, nz, nz, nz, nz,
+            nz, nz, nz, nz, nz, nz, nneg1)
+    # zero the length-storage key tables (fresh entropy state)
+    def zmain(n, _):
+        mainkey[n] = nz
+        return 0
+    jax.lax.fori_loop(0, NMAIN, zmain, 0)
+    def zlen(n, _):
+        lenkey[n] = nz
+        return 0
+    jax.lax.fori_loop(0, NLEN, zlen, 0)
+    def zsmall(n, _):
+        prekey[n] = nz
+        alnkey[jax.lax.rem(n, NALN)] = nz
+        limlen[jax.lax.rem(n, 17)] = nz
+        return 0
+    jax.lax.fori_loop(0, NPRE, zsmall, 0)
+
+    final = jax.lax.while_loop(cond, step, init)
+    t_end = final[0]
+    mode = final[2]
+    wpos = final[6]
+    outpos = final[9]
+    istart = final[21]
+    ifsz = final[22]
+    err = final[31]
+    donestep = final[32]
+
+    @pl.when(jnp.logical_and(t_end >= 1,
+                             jax.lax.rem(t_end - 1, RPD) == 0))
+    def _():
+        pltpu.make_async_copy(stream_hbm.at[pl.ds(0, WINR), 0],
+                              win_ref.at[:, 0], sems.at[S_ROW]).wait()
+
+    nflushed = (t_end // CHUNK) * CHUNK
+    c = t_end // CHUNK
+    @pl.when(c >= 2)
+    def _():
+        for s in range(2):
+            pltpu.make_async_copy(stage_tok.at[0],
+                                  tok_hbm.at[pl.ds(0, CHUNK)],
+                                  sems.at[S_TOK + s]).wait()
+            pltpu.make_async_copy(stage_lit.at[0],
+                                  litw_hbm.at[pl.ds(0, CHUNK)],
+                                  sems.at[S_LIT + s]).wait()
+    @pl.when(jnp.logical_and(c == 1, jax.lax.rem(t_end, CHUNK) > 0))
+    def _():
+        slotp = jax.lax.rem(c, 2) ^ 1
+        pltpu.make_async_copy(stage_tok.at[0],
+                              tok_hbm.at[pl.ds(0, CHUNK)],
+                              sems.at[S_TOK + slotp]).wait()
+        pltpu.make_async_copy(stage_lit.at[0],
+                              litw_hbm.at[pl.ds(0, CHUNK)],
+                              sems.at[S_LIT + slotp]).wait()
+    @pl.when(jax.lax.rem(t_end, CHUNK) > 0)
+    def _():
+        slotc = jax.lax.rem(c, 2)
+        pltpu.make_async_copy(
+            stage_tok.at[slotc],
+            tok_hbm.at[pl.ds(nflushed, CHUNK)],
+            sems.at[S_TOK + slotc]).start()
+        pltpu.make_async_copy(
+            stage_lit.at[slotc],
+            litw_hbm.at[pl.ds(nflushed, CHUNK)],
+            sems.at[S_LIT + slotc]).start()
+        pltpu.make_async_copy(
+            stage_tok.at[slotc],
+            tok_hbm.at[pl.ds(nflushed, CHUNK)],
+            sems.at[S_TOK + slotc]).wait()
+        pltpu.make_async_copy(
+            stage_lit.at[slotc],
+            litw_hbm.at[pl.ds(nflushed, CHUNK)],
+            sems.at[S_LIT + slotc]).wait()
+
+    errv = jnp.where(mode == X_ERR, 1, 0)
+    errv = jnp.where(mode < X_DONE, 2, errv)
+    cnt_ref[0] = errv
+    cnt_ref[1] = outpos
+    cnt_ref[2] = jnp.where(donestep < 0, t_end, donestep)
+    cnt_ref[3] = wpos
+    cnt_ref[4] = istart
+    cnt_ref[5] = ifsz
+    cnt_ref[6] = mode
+    cnt_ref[7] = final[16]  # blkrem
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "SL", "LN", "W", "T_PAD", "WB", "DELTA", "interpret"))
+def _run(stream, outlen, hist, SL, LN, W, T_PAD, WB, DELTA,
+         interpret=False):
+    NMAIN = 256 + (POSITION_SLOTS[WB - 15] << 3)
+    kern = functools.partial(_kernel, SL=SL, LN=LN, W=W, T_PAD=T_PAD,
+                             WB=WB, DELTA=DELTA)
+    return pl.pallas_call(
+        kern,
+        interpret=interpret,
+        out_shape=(jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
+                   jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
+                   jax.ShapeDtypeStruct((8, SL, LN), jnp.int32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((WINR, SL, LN), jnp.uint32),    # win
+            pltpu.VMEM((NMAIN, SL, LN), jnp.int32),    # mainkey
+            pltpu.VMEM((NLEN, SL, LN), jnp.int32),     # lenkey
+            pltpu.VMEM((NPRE, SL, LN), jnp.int32),     # prekey
+            pltpu.VMEM((NALN, SL, LN), jnp.int32),     # alnkey
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # limmain
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # firstmain
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # limlen
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # firstlen
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # limpre
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # firstpre
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # limaln
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # firstaln
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # cnttmp
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # runtmp
+            pltpu.VMEM((2, CHUNK, SL, LN), jnp.int32),  # stage_tok
+            pltpu.VMEM((2, CHUNK, SL, LN), jnp.int32),  # stage_lit
+            pltpu.VMEM((1, SL, LN), jnp.int32),        # mintmp
+            pltpu.SemaphoreType.DMA((NSEM,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(stream, outlen, hist)
+
+
+def pack_streams(streams, SL=8, LN=128):
+    L = SL * LN
+    assert len(streams) <= L
+    maxb = max((len(f) for f in streams), default=1)
+    W = max((maxb + 3) // 4 + WINR + 2, WINR + 2)
+    arr = np.zeros((L, W), np.uint32)
+    for i, f in enumerate(streams):
+        b = np.frombuffer(bytes(f) + b"\0" * (-len(f) % 4), np.uint32)
+        arr[i, :len(b)] = b
+    return np.ascontiguousarray(arr.T).reshape(W, SL, LN), W
+
+
+def lzx_phase_a(streams, out_lens, window_bits, hists=None,
+                is_delta=False, SL=8, LN=128, T_PAD=None,
+                interpret=False):
+    """Run LZX phase A on a batch of independent streams.
+
+    streams: list of bytes (each a fresh-entropy-state LZX stream: a
+    CAB folder prefix, a CHM reset chunk, or an OAB block).
+    out_lens: expected decompressed byte count per stream.
+    hists: per-lane prefix budget for back-references beyond the
+    stream start (DELTA reference bytes); 0 default.
+    Returns (tok (T,L), litw (T,L), counts (8,L)).
+    """
+    L = SL * LN
+    stream, W = pack_streams(streams, SL, LN)
+    outlen = np.zeros((SL, LN), np.int32)
+    for i, n in enumerate(out_lens):
+        outlen[i // LN, i % LN] = n
+    hist = np.zeros((SL, LN), np.int32)
+    for i, h in enumerate(hists or []):
+        hist[i // LN, i % LN] = h
+    if T_PAD is None:
+        T_PAD = max(out_lens, default=1) + 4096
+    T_PAD = ((T_PAD + CHUNK - 1) // CHUNK) * CHUNK
+    tok, litw, cnt = _run(jnp.asarray(stream), jnp.asarray(outlen),
+                          jnp.asarray(hist), SL, LN, W, T_PAD,
+                          window_bits, bool(is_delta), interpret)
+    return (tok.reshape(T_PAD, L), litw.reshape(T_PAD, L),
+            cnt.reshape(8, L))
+
+
+def replay_trace(tok_col, litw_col, out_len, window_bits,
+                 ref_data=b""):
+    """Reference phase B in python: resolve one lane's LZX trace.
+
+    The history prefix is a full window of zeros with DELTA reference
+    data at its tail (codecs/lzx.py history layout), so token
+    distances may exceed the produced byte count.
+    """
+    wsize = 1 << window_bits
+    prefix = bytearray(wsize)
+    if ref_data:
+        prefix[wsize - len(ref_data):] = ref_data
+    out = bytearray(prefix)
+    base = len(out)
+    for t in range(len(tok_col)):
+        v = int(tok_col[t])
+        if v < 0:
+            continue
+        if v & TOK_LIT:
+            n = v & 7
+            w = int(litw_col[t]) & 0xFFFFFFFF
+            for i in range(n):
+                out.append((w >> (8 * i)) & 0xFF)
+        elif v & TOK_MATCH:
+            ln = v & 0xFFFFF
+            dist = int(litw_col[t])
+            for _ in range(ln):
+                out.append(out[-dist])
+        if len(out) - base >= out_len:
+            break
+    return bytes(out[base:base + out_len])
+
+
+def e8_decode(data, intel_filesize, frame0_offset=0):
+    """Apply the E8 untransform per 32 KiB frame (lzxd.c:706-733)."""
+    from ..codecs.lzx import _e8_transform
+    out = bytearray()
+    pos = 0
+    frame = frame0_offset >> 15
+    while pos < len(data):
+        fs = min(32768, len(data) - pos)
+        fd = bytearray(data[pos:pos + fs])
+        if intel_filesize and frame < 32768 and fs > 10:
+            fd = _e8_transform(fd, frame0_offset + pos,
+                               intel_filesize)
+        out.extend(fd)
+        pos += fs
+        frame += 1
+    return bytes(out)
+
+
+def bench_entry(n_lanes=256, chunk_kb=64, window_bits=16):
+    """Chip benchmark: n_lanes independent LZX chunks (CHM-style
+    reset-interval grids) decoded in one launch. Returns a
+    BENCH_KERNELS.json entry dict."""
+    import time
+    from ..compress.lzx_e import LzxEncoder
+    base = open("/root/reference/libmspack/mspack/lzxd.c", "rb").read()
+    base = base * (1 + (chunk_kb * 1024 * n_lanes) // len(base))
+    datas, streams = [], []
+    for i in range(n_lanes):
+        d = base[i * chunk_kb * 1024:(i + 1) * chunk_kb * 1024]
+        datas.append(d)
+        streams.append(LzxEncoder(window_bits).compress(d)[0])
+    out_lens = [len(d) for d in datas]
+    t_pad = chunk_kb * 1024 + 4096
+    tok, litw, cnt = lzx_phase_a(streams, out_lens, window_bits,
+                                 T_PAD=t_pad)
+    cnth = np.asarray(cnt)
+    errs = int((cnth[0, :n_lanes] != 0).sum())
+    ok = int((cnth[1, :n_lanes] == np.array(out_lens)).sum())
+    tokh, litwh = np.asarray(tok), np.asarray(litw)
+    exact = all(
+        replay_trace(tokh[:, i], litwh[:, i], out_lens[i], window_bits)
+        == datas[i] for i in (0, n_lanes // 2, n_lanes - 1))
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, _, c2 = lzx_phase_a(streams, out_lens, window_bits,
+                               T_PAD=t_pad)
+        np.asarray(c2)
+    dt = (time.perf_counter() - t0) / reps
+    total = sum(out_lens)
+    return {
+        "kernel": "pallas_lzx.phase_a",
+        "config": (f"{n_lanes} lanes x {chunk_kb} KiB chunks, "
+                   f"window 2^{window_bits}, mixed C source"),
+        "bytes_out": total,
+        "ms": round(dt * 1e3, 1),
+        "mb_per_s": round(total / dt / 1e6, 1),
+        "errors": errs, "out_ok": ok, "sampled_bit_exact": bool(exact),
+        "max_steps": int(cnth[2].max()),
+    }
