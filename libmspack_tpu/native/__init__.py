@@ -356,6 +356,32 @@ def cab_mszip_pipeline(cab, data_offsets: list[int], nblocks: list[int],
     return list(foffs)
 
 
+def deflate_frames(data: bytes,
+                   cross_frame_history: bool = True) -> list[bytes] | None:
+    """MSZIP 'CK' frames via the native deflate encoder (the project's
+    own coder: lazy hash-chain matcher + length-limited Huffman +
+    stored/fixed/dynamic choice; see msp_native.cpp)."""
+    import numpy as np
+    try:
+        L = lib()
+    except RuntimeError:
+        return None
+    n = len(data)
+    if n == 0:
+        return []
+    nf = (n + 32767) // 32768
+    cap = n + nf * 16 + 64
+    out = np.empty(cap, np.uint8)
+    offs = (ctypes.c_int64 * (nf + 1))()
+    r = L.msp_deflate_frames(
+        data, ctypes.c_int64(n), 1 if cross_frame_history else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(cap), offs)
+    if r != nf:
+        return None
+    return [out[offs[i]:offs[i + 1]].tobytes() for i in range(nf)]
+
+
 def lzx_encode(data: bytes, window_bits: int, reset_interval: int = 0,
                is_delta: bool = False, ref_data: bytes = b"",
                max_chain: int = 64,

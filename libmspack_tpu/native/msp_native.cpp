@@ -1882,6 +1882,268 @@ struct Encoder {
 
 }  // namespace lzxe}  // namespace lzxe
 
+
+namespace lzxe {
+// ===================== DEFLATE (MSZIP) encoder ======================
+// The project's own deflate entropy coder (reference mszipc.c is a
+// stub; format pinned by the reference decoder, mszipd.c:91-219).
+// Greedy hash-chain matching with one-symbol lazy evaluation, Huffman
+// lengths via make_lengths (limit 15 / 7), code-length RLE 16/17/18,
+// per-frame stored/fixed/dynamic choice by measured bit cost.
+
+struct LsbOut {
+  std::vector<uint8_t>& out;
+  uint64_t acc = 0;
+  int cnt = 0;
+  explicit LsbOut(std::vector<uint8_t>& o) : out(o) {}
+  inline void put(uint32_t v, int n) {
+    acc |= (uint64_t)(v & (n >= 32 ? 0xFFFFFFFFu : ((1u << n) - 1)))
+           << cnt;
+    cnt += n;
+    while (cnt >= 8) {
+      out.push_back((uint8_t)acc);
+      acc >>= 8;
+      cnt -= 8;
+    }
+  }
+  inline void code(uint32_t c, int len) {
+    uint32_t rev = 0;
+    for (int i = 0; i < len; i++) { rev = (rev << 1) | (c & 1); c >>= 1; }
+    put(rev, len);
+  }
+  inline void flush() { if (cnt) { out.push_back((uint8_t)acc); acc = 0; cnt = 0; } }
+};
+
+static const uint16_t kDLenBase[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,
+  23,27,31,35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t kDLenExtra[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,
+  3,3,3,3,4,4,4,4,5,5,5,5,0};
+static const uint16_t kDDistBase[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,
+  97,129,193,257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,
+  16385,24577};
+static const uint8_t kDDistExtra[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,
+  7,7,8,8,9,9,10,10,11,11,12,12,13,13};
+static const uint8_t kDClOrder[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,
+  13,2,14,1,15};
+
+static inline int d_len_code(uint32_t l) {
+  int lo = 0, hi = 28;
+  while (lo < hi) { int mid = (lo + hi + 1) >> 1;
+    if (kDLenBase[mid] <= l) lo = mid; else hi = mid - 1; }
+  return lo;
+}
+static inline int d_dist_code(uint32_t d) {
+  int lo = 0, hi = 29;
+  while (lo < hi) { int mid = (lo + hi + 1) >> 1;
+    if (kDDistBase[mid] <= d) lo = mid; else hi = mid - 1; }
+  return lo;
+}
+
+// canonical codes for the LSB (deflate) decoder: same (len asc, sym
+// asc) assignment; the writer bit-reverses on emit
+static void d_canonical(const uint8_t* lens, int n, uint16_t* codes) {
+  int count[16] = {0};
+  for (int i = 0; i < n; i++) count[lens[i]]++;
+  count[0] = 0;
+  uint32_t next[17] = {0};
+  uint32_t code = 0;
+  for (int b = 1; b <= 15; b++) { code = (code + count[b - 1]) << 1; next[b] = code; }
+  for (int i = 0; i < n; i++)
+    codes[i] = lens[i] ? (uint16_t)next[lens[i]]++ : 0;
+}
+
+struct DTok { uint8_t kind; uint8_t lit; uint16_t len; uint16_t dist16; uint32_t dist; };
+
+static void d_tokenize(const uint8_t* buf, size_t start, size_t end,
+                       Matcher& mt, std::vector<DTok>& toks) {
+  size_t pos = start;
+  uint32_t pl = 0, pd = 0;   // pending lazy match
+  bool pend = false;
+  while (pos < end) {
+    uint32_t best_len = 0, best_dist = 0;
+    size_t cap = end - pos;
+    if (cap > 258) cap = 258;
+    if (pos + 2 < end) {
+      int64_t cand = mt.head[Matcher::h3(buf + pos)];
+      int chain = 128;
+      while (cand >= 0 && chain-- > 0) {
+        uint64_t dist = pos - (uint64_t)cand;
+        if (dist > 32768) break;
+        const uint8_t* sp = buf + cand;
+        const uint8_t* tp = buf + pos;
+        if (best_len < cap && sp[best_len] == tp[best_len]) {
+          uint32_t l = 0;
+          while (l < cap && sp[l] == tp[l]) l++;
+          if (l > best_len) { best_len = l; best_dist = (uint32_t)dist;
+            if (l >= cap) break; }
+        }
+        cand = mt.prev[(uint32_t)cand & mt.mask];
+      }
+      if (best_len < 3) best_len = 0;
+    }
+    if (pend) {
+      if (best_len > pl) {
+        toks.push_back({0, buf[pos - 1], 0, 0, 0});
+        pl = best_len; pd = best_dist;
+        mt.insert(pos); pos++;
+        continue;
+      }
+      toks.push_back({1, 0, (uint16_t)pl, 0, pd});
+      size_t stop = pos - 1 + pl;
+      if (stop > end) stop = end;
+      while (pos < stop) { mt.insert(pos); pos++; }
+      pend = false;
+      continue;
+    }
+    if (best_len >= 3) {
+      if (best_len < 32 && pos + 1 < end) {
+        pl = best_len; pd = best_dist; pend = true;
+        mt.insert(pos); pos++;
+        continue;
+      }
+      toks.push_back({1, 0, (uint16_t)best_len, 0, best_dist});
+      size_t stop = pos + best_len;
+      if (stop > end) stop = end;
+      while (pos < stop) { mt.insert(pos); pos++; }
+    } else {
+      toks.push_back({0, buf[pos], 0, 0, 0});
+      mt.insert(pos); pos++;
+    }
+  }
+  if (pend) toks.push_back({1, 0, (uint16_t)pl, 0, pd});
+}
+
+struct DClOp { uint8_t sym, nextra; uint16_t extra; };
+
+static void d_cl_ops(const uint8_t* lens, int n, std::vector<DClOp>& ops) {
+  int i = 0;
+  while (i < n) {
+    uint8_t v = lens[i];
+    int run = 1;
+    while (i + run < n && lens[i + run] == v) run++;
+    int total = run;
+    if (v == 0) {
+      while (run >= 11) { int take = run < 138 ? run : 138;
+        ops.push_back({18, 7, (uint16_t)(take - 11)}); run -= take; }
+      if (run >= 3) { ops.push_back({17, 3, (uint16_t)(run - 3)}); run = 0; }
+      for (; run > 0; run--) ops.push_back({0, 0, 0});
+    } else {
+      ops.push_back({v, 0, 0});
+      run--;
+      while (run >= 3) { int take = run < 6 ? run : 6;
+        ops.push_back({16, 2, (uint16_t)(take - 3)}); run -= take; }
+      for (; run > 0; run--) ops.push_back({v, 0, 0});
+    }
+    i += total;
+  }
+}
+
+static void d_emit_frame(const uint8_t* buf, size_t start, size_t end,
+                         Matcher& mt, std::vector<uint8_t>& out) {
+  std::vector<DTok> toks;
+  toks.reserve((end - start) / 3 + 16);
+  d_tokenize(buf, start, end, mt, toks);
+
+  uint32_t lfreq[288] = {0}, dfreq[30] = {0};
+  lfreq[256] = 1;
+  for (const DTok& t : toks) {
+    if (t.kind == 0) lfreq[t.lit]++;
+    else { lfreq[257 + d_len_code(t.len)]++; dfreq[d_dist_code(t.dist)]++; }
+  }
+  uint8_t dyn_lit[288], dyn_dist[30];
+  make_lengths(lfreq, 288, 15, dyn_lit);
+  make_lengths(dfreq, 30, 15, dyn_dist);
+  int nlit = 288; while (nlit > 257 && dyn_lit[nlit - 1] == 0) nlit--;
+  int ndist = 30; while (ndist > 1 && dyn_dist[ndist - 1] == 0) ndist--;
+  uint8_t all_lens[318];
+  memcpy(all_lens, dyn_lit, nlit);
+  memcpy(all_lens + nlit, dyn_dist, ndist);
+  std::vector<DClOp> ops;
+  d_cl_ops(all_lens, nlit + ndist, ops);
+  uint32_t clfreq[19] = {0};
+  for (const DClOp& o : ops) clfreq[o.sym]++;
+  uint8_t cl_lens[19];
+  make_lengths(clfreq, 19, 7, cl_lens);
+  int ncl = 19;
+  while (ncl > 4 && cl_lens[kDClOrder[ncl - 1]] == 0) ncl--;
+
+  static uint8_t fix_lit[288], fix_dist[30];
+  static bool fix_init = false;
+  if (!fix_init) {
+    for (int i = 0; i < 144; i++) fix_lit[i] = 8;
+    for (int i = 144; i < 256; i++) fix_lit[i] = 9;
+    for (int i = 256; i < 280; i++) fix_lit[i] = 7;
+    for (int i = 280; i < 288; i++) fix_lit[i] = 8;
+    for (int i = 0; i < 30; i++) fix_dist[i] = 5;
+    fix_init = true;
+  }
+
+  auto body_cost = [&](const uint8_t* ll, const uint8_t* dl) -> int64_t {
+    int64_t c = ll[256];
+    for (const DTok& t : toks) {
+      if (t.kind == 0) {
+        if (!ll[t.lit]) return 1ll << 40;
+        c += ll[t.lit];
+      } else {
+        int lc = d_len_code(t.len), dc = d_dist_code(t.dist);
+        if (!ll[257 + lc] || !dl[dc]) return 1ll << 40;
+        c += ll[257 + lc] + kDLenExtra[lc] + dl[dc] + kDDistExtra[dc];
+      }
+    }
+    return c;
+  };
+  int64_t hdr = 5 + 5 + 4 + 3 * ncl;
+  for (const DClOp& o : ops) hdr += cl_lens[o.sym] + o.nextra;
+  int64_t dyn_cost = 3 + hdr + body_cost(dyn_lit, dyn_dist);
+  int64_t fix_cost = 3 + body_cost(fix_lit, fix_dist);
+  int64_t sto_cost = 3 + 5 + 32 + 8 * (int64_t)(end - start);
+
+  LsbOut w(out);
+  if (sto_cost < dyn_cost && sto_cost < fix_cost) {
+    w.put(1, 1); w.put(0, 2);
+    if (w.cnt) w.put(0, 8 - w.cnt);
+    uint32_t n = (uint32_t)(end - start);
+    w.put(n, 16); w.put(n ^ 0xFFFF, 16);
+    w.flush();
+    out.insert(out.end(), buf + start, buf + end);
+    return;
+  }
+  uint16_t lcodes[288], dcodes[30];
+  const uint8_t *ll, *dl;
+  if (fix_cost <= dyn_cost) {
+    w.put(1, 1); w.put(1, 2);
+    ll = fix_lit; dl = fix_dist;
+  } else {
+    w.put(1, 1); w.put(2, 2);
+    w.put(nlit - 257, 5); w.put(ndist - 1, 5); w.put(ncl - 4, 4);
+    for (int k = 0; k < ncl; k++) w.put(cl_lens[kDClOrder[k]], 3);
+    uint16_t clcodes[19];
+    d_canonical(cl_lens, 19, clcodes);
+    for (const DClOp& o : ops) {
+      w.code(clcodes[o.sym], cl_lens[o.sym]);
+      if (o.nextra) w.put(o.extra, o.nextra);
+    }
+    ll = dyn_lit; dl = dyn_dist;
+  }
+  d_canonical(ll, 288, lcodes);
+  d_canonical(dl, 30, dcodes);
+  for (const DTok& t : toks) {
+    if (t.kind == 0) w.code(lcodes[t.lit], ll[t.lit]);
+    else {
+      int lc = d_len_code(t.len);
+      w.code(lcodes[257 + lc], ll[257 + lc]);
+      if (kDLenExtra[lc]) w.put(t.len - kDLenBase[lc], kDLenExtra[lc]);
+      int dc = d_dist_code(t.dist);
+      w.code(dcodes[dc], dl[dc]);
+      if (kDDistExtra[dc]) w.put(t.dist - kDDistBase[dc], kDDistExtra[dc]);
+    }
+  }
+  w.code(lcodes[256], ll[256]);
+  w.flush();
+}
+
+}  // namespace lzxe (deflate section)
+
 extern "C" {
 
 // forward declarations (pipeline dispatch below uses these)
@@ -2489,5 +2751,40 @@ int msp_cab_mszip_pipeline(const uint8_t* cab, uint64_t cab_len,
 }
 
 int msp_version(void) { return 1; }
+
+
+// DEFLATE/MSZIP frames: each 32 KiB chunk one final deflate block,
+// cross-frame history when hist != 0. offsets gets n_frames+1 byte
+// offsets into out (each frame "CK"-prefixed). Returns n_frames, or
+// -1 if out_cap would overflow.
+int64_t msp_deflate_frames(const uint8_t* data, int64_t n, int hist,
+                           uint8_t* out, int64_t out_cap,
+                           int64_t* offsets) {
+  const int64_t FRAME = 32768;
+  std::vector<uint8_t> buf;
+  int64_t nf = 0;
+  int64_t pos_out = 0;
+  lzxe::Matcher mt(data, (size_t)n, 128, 1u << 16);
+  for (int64_t i = 0; i < n; i += FRAME, nf++) {
+    int64_t end = i + FRAME < n ? i + FRAME : n;
+    offsets[nf] = pos_out;
+    buf.clear();
+    buf.push_back('C');
+    buf.push_back('K');
+    if (!hist) {
+      lzxe::Matcher fresh(data + i, (size_t)(end - i), 128, 1u << 16);
+      lzxe::d_emit_frame(data + i, 0, (size_t)(end - i), fresh, buf);
+    } else {
+      // matcher persists; entries older than 32 KiB are distance-
+      // rejected in d_tokenize
+      lzxe::d_emit_frame(data, (size_t)i, (size_t)end, mt, buf);
+    }
+    if (pos_out + (int64_t)buf.size() > out_cap) return -1;
+    memcpy(out + pos_out, buf.data(), buf.size());
+    pos_out += (int64_t)buf.size();
+  }
+  offsets[nf] = pos_out;
+  return nf;
+}
 
 }  // extern "C"

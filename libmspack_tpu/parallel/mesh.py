@@ -79,7 +79,8 @@ def decode_frames_sharded(mesh: Mesh, frames: list[bytes],
     try:
         ndev = mesh.devices.size
         nominal = len(frames)
-        B = max(ndev, ij._bucket(nominal, ij.B_BUCKETS))
+        # next power of two (recompile granularity), ndev-divisible
+        B = max(ndev, 1 << max(0, nominal - 1).bit_length())
         B = ((B + ndev - 1) // ndev) * ndev
         frames = list(frames) + [ij._EMPTY_STREAM] * (B - nominal)
         S = ij._bucket(max(len(f) for f in frames) + 8, ij.S_BUCKETS)
@@ -125,3 +126,192 @@ def decode_frames_sharded(mesh: Mesh, frames: list[bytes],
         return np.asarray(out)[:total].tobytes()
     except ij.NeedFallback:
         return None
+
+
+# ---------------------------------------------------------------------------
+# ring phase B: per-shard resolve with ppermute window-state handoff
+# (SURVEY §5.7 — replaces the all-gather + one-device resolve)
+# ---------------------------------------------------------------------------
+
+H_WIN = 32768  # MSZIP window: the only cross-frame state
+
+
+def _phase_b_hist(t_kind, t_outlen, t_dist, t_lit, frame_base, hist, N):
+    """ops.inflate_jax._phase_b with a H_WIN-byte history prefix.
+
+    Positions [0, H_WIN) of the output are `hist` (the window handed
+    over from the previous shard); frame_base is already offset by
+    +H_WIN. Matches may reach into the history."""
+    B, R = t_kind.shape
+    H = H_WIN
+    live = (t_kind == 0) | (t_kind == 1)
+    tlen = jnp.where(live, t_outlen, 0)
+    within = jnp.cumsum(tlen, axis=1) - tlen
+    out_start = (frame_base[:, None] + within).reshape(-1)
+    flat_len = tlen.reshape(-1)
+
+    T = B * R
+    marks = jnp.zeros(N + 1, jnp.int32).at[
+        jnp.where(flat_len > 0, jnp.clip(out_start, 0, N), N)].max(
+        jnp.arange(T, dtype=jnp.int32) + 1)
+    tok_id = jnp.clip(jax.lax.cummax(marks[:N]) - 1, 0, T - 1)
+
+    bpos = jnp.arange(N, dtype=jnp.int32)
+    k = jnp.take(t_kind.reshape(-1), tok_id)
+    d = jnp.take(t_dist.reshape(-1), tok_id)
+    l = jnp.take(t_lit.reshape(-1), tok_id)
+    ptr = jnp.where(bpos < H, bpos,
+                    jnp.where(k == 0, bpos, bpos - d))
+
+    rounds = max(1, N - 1).bit_length()
+
+    def round_(_, pp):
+        return jnp.where(pp >= 0, jnp.take(pp, jnp.clip(pp, 0, N - 1)),
+                         pp)
+
+    root = jax.lax.fori_loop(0, rounds, round_, ptr)
+    histv = jnp.take(hist, jnp.clip(root, 0, H - 1))
+    out = jnp.where(root < H, histv, jnp.take(l, jnp.clip(root, 0, N - 1)))
+    bad_src = jnp.any(root < 0)
+    return out, bad_src
+
+
+def decode_frames_ring(mesh: Mesh, frames: list[bytes],
+                       expected_sizes: list[int] | None = None
+                       ) -> bytes | None:
+    """Sharded MSZIP folder decode with ring phase B.
+
+    Phase A is dp-sharded (no communication). Phase B runs as an
+    ndev-step ring: at step k shard k resolves its frames against the
+    32 KiB window ppermute'd from shard k-1, then hands its own output
+    tail onward — ndev * 32 KiB on the wire instead of an all-gather
+    of the full token grid. Bit-exact vs the scalar codec; returns
+    None for fallback cases (multi-block/stored frames)."""
+    from ..ops import inflate_jax as ij
+
+    if not frames:
+        return b""
+    try:
+        ndev = mesh.devices.size
+        nominal = len(frames)
+        # next power of two (recompile granularity), ndev-divisible
+        B = max(ndev, 1 << max(0, nominal - 1).bit_length())
+        B = ((B + ndev - 1) // ndev) * ndev
+        frames = list(frames) + [ij._EMPTY_STREAM] * (B - nominal)
+        S = ij._bucket(max(len(f) for f in frames) + 8, ij.S_BUCKETS)
+
+        data = np.zeros((B, S), np.uint8)
+        luts_l = np.zeros((B, 1 << 15), np.int32)
+        luts_d = np.zeros((B, 1 << 15), np.int32)
+        starts = np.zeros(B, np.int32)
+        for i, f in enumerate(frames):
+            data[i, : len(f)] = np.frombuffer(f, np.uint8)
+            last, kind, *rest = ij._parse_block_header(f, 0)
+            if kind != "huff" or not last:
+                raise ij.NeedFallback("multi-block/stored frame")
+            luts_l[i], luts_d[i], starts[i] = rest
+
+        Bl = B // ndev                   # frames per shard
+        N_loc = Bl * 32768 + H_WIN       # local resolve buffer
+        R = ij.MAX_TOKENS
+
+        def local(data, starts, lit, dist):
+            (t_kind, t_outlen, t_dist, t_lit, end_pos, chain_inv,
+             reached) = ij._phase_a(data, starts, lit, dist,
+                                    S * 8, R, S)
+            live = (t_kind == 0) | (t_kind == 1)
+            flen = jnp.sum(jnp.where(live, t_outlen, 0), axis=1)
+            base = H_WIN + jnp.cumsum(flen) - flen
+            my = jax.lax.axis_index("dp")
+
+            def ring_step(kdev, carry):
+                win, res, restot = carry
+                out, bad = _phase_b_hist(t_kind, t_outlen, t_dist,
+                                         t_lit, base, win, N_loc)
+                tot = H_WIN + jnp.sum(flen)
+                tail = jax.lax.dynamic_slice(
+                    out, (jnp.maximum(tot - H_WIN, 0),), (H_WIN,))
+                mine = kdev == my
+                res = jnp.where(mine, out, res)
+                restot = jnp.where(mine, tot - H_WIN, restot)
+                win2 = jax.lax.ppermute(
+                    tail, "dp",
+                    [(i, (i + 1) % ndev) for i in range(ndev)])
+                return (win2, res, restot)
+
+            def vary(x):
+                return jax.lax.pcast(x, ("dp",), to="varying")
+            win0 = vary(jnp.zeros(H_WIN, jnp.int32))
+            _, res, restot = jax.lax.fori_loop(
+                0, ndev, ring_step,
+                (win0, vary(jnp.zeros(N_loc, jnp.int32)),
+                 vary(jnp.int32(0))))
+            inv = jnp.logical_or(jnp.any(chain_inv),
+                                 jnp.logical_not(jnp.all(reached)))
+            return (res[H_WIN:][None], restot[None], flen,
+                    inv[None])
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp", None), P("dp", None)),
+            out_specs=(P("dp", None), P("dp"), P("dp"), P("dp")))
+        res, restot, flen, inv = jax.jit(fn)(
+            jnp.asarray(data.reshape(-1)), jnp.asarray(starts),
+            jnp.asarray(luts_l), jnp.asarray(luts_d))
+        if bool(jnp.any(inv)):
+            raise ij.NeedFallback("invalid chain")
+        flen_np = np.asarray(flen)
+        if expected_sizes is not None:
+            exp = np.asarray(list(expected_sizes)
+                             + [0] * (B - nominal), np.int64)
+            if not np.array_equal(flen_np, exp):
+                raise ij.NeedFallback("frame length mismatch")
+        res_np = np.asarray(res, np.uint8)
+        restot_np = np.asarray(restot)
+        parts = [res_np[d, :restot_np[d]].tobytes()
+                 for d in range(ndev)]
+        return b"".join(parts)
+    except ij.NeedFallback:
+        return None
+
+
+def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
+    """Decode a whole cabinet over the mesh: MSZIP folders through the
+    ring (folder = shard grid row, frames dp-sharded), NONE folders as
+    raw copies; anything else -> None (host engines own it).
+
+    Returns {filename: bytes} for every member."""
+    from ..formats.cab import CabDecompressor, COMPTYPE_MASK
+
+    d = CabDecompressor()
+    cab = d.open(path_or_bytes)
+    folder_bytes = {}
+    for fi, fol in enumerate(cab.folders):
+        ct = fol.comp_type & COMPTYPE_MASK
+        if ct == 1:
+            collected = d.collect_mszip_frames(fol)
+            if collected is None:
+                return None
+            frames, sizes = collected
+            blob = decode_frames_ring(mesh, [f[2:] for f in frames],
+                                      sizes)
+            if blob is None:
+                return None
+            folder_bytes[fi] = blob
+        elif ct == 0:
+            collected = d.collect_raw_blocks(fol)
+            if collected is None:
+                return None
+            blocks, _ = collected
+            folder_bytes[fi] = b"".join(blocks)
+        else:
+            return None
+    out = {}
+    for f in cab.files:
+        fi = next(i for i, fol in enumerate(cab.folders)
+                  if fol is f.folder)
+        blob = folder_bytes.get(fi)
+        if blob is None or f.offset + f.length > len(blob):
+            return None
+        out[f.filename] = blob[f.offset:f.offset + f.length]
+    return out

@@ -126,3 +126,37 @@ def test_tpu_engine_failed_lane_falls_back():
     bad_frames = list(frames)
     bad_frames[0] = b"\x07\xff" + bad_frames[0][2:]  # bad block header
     assert eng.decode_folders([(bad_frames, sizes)]) is None
+
+
+def test_ring_decode_matches_scalar():
+    """Ring phase B (ppermute window handoff) vs scalar output."""
+    import random
+    from libmspack_tpu.compress import mszip_c
+    rng = random.Random(23)
+    data = (b"ppermute ring handoff " * 250
+            + bytes(rng.randrange(256) for _ in range(300))) * 24
+    frames = [f[2:] for f in mszip_c.compress_frames(data)]
+    sizes = [min(32768, len(data) - i * 32768)
+             for i in range(len(frames))]
+    for nd in (2, 8):
+        m = pmesh.default_mesh(nd)
+        out = pmesh.decode_frames_ring(m, frames, sizes)
+        assert out == data, f"ndev={nd}"
+
+
+def test_mesh_cab_decode():
+    """Whole multi-folder cab through the mesh (ring + raw copy)."""
+    import random
+    from libmspack_tpu.compress import cab_c
+    rng = random.Random(31)
+    blob = (b"mesh cab " * 900
+            + bytes(rng.randrange(256) for _ in range(100))) * 12
+    raw = bytes(rng.randrange(256) for _ in range(2500))
+    cabb = cab_c.write_cab(folders=[
+        cab_c.FolderSpec([("a.bin", blob)], "mszip"),
+        cab_c.FolderSpec([("b.bin", blob[::-1])], "mszip"),
+        cab_c.FolderSpec([("c.bin", raw)], "none"),
+    ])
+    m = pmesh.default_mesh()
+    out = pmesh.decode_cab_sharded(m, cabb)
+    assert out == {"a.bin": blob, "b.bin": blob[::-1], "c.bin": raw}
