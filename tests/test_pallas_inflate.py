@@ -5,6 +5,7 @@ lane-parallel deflate decode); the real-chip path is exercised by
 tools/tpu_inflate_bench.py and bench.py. Interpreted steps are slow,
 so frames here are small.
 """
+import os
 import zlib
 
 import numpy as np
@@ -76,3 +77,50 @@ def test_trace_resolver_rejects_bad_dist():
     out = np.zeros(8, np.uint8)
     r = native.resolve_traces(tok, litw, [0], [1], [4], out, [0, 4], 1)
     assert r != 0
+
+
+@pytest.mark.skipif(not os.environ.get("MSPACK_TPU_TESTS"),
+                    reason="real-chip compiled-mode test; set "
+                           "MSPACK_TPU_TESTS=1 (one TPU job at a time)")
+def test_phase_a_compiled_full_frames_on_chip():
+    """Compiled (non-interpret) bit-exactness on the real device:
+    full 32 KiB frames with cross-frame history, both kernels.
+
+    Runs in a subprocess because conftest pins this process to the
+    virtual CPU mesh."""
+    import subprocess
+    import sys
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    code = r'''
+import numpy as np, zlib
+from libmspack_tpu.ops import pallas_inflate as pa
+from libmspack_tpu.ops import pallas_lzx as plx
+from libmspack_tpu.compress.lzx_e import LzxEncoder
+base = open("/root/reference/libmspack/mspack/lzxd.c", "rb").read() * 3
+data = base[:65536]
+f0 = zlib.compressobj(9, zlib.DEFLATED, -15)
+s0 = f0.compress(data[:32768]) + f0.flush()
+f1 = zlib.compressobj(9, zlib.DEFLATED, -15, 9,
+                      zlib.Z_DEFAULT_STRATEGY, data[:32768])
+s1 = f1.compress(data[32768:]) + f1.flush()
+tok, litw, cnt = pa.inflate_phase_a([s0, s1], hists=[0, 32768])
+c = np.asarray(cnt)
+assert (c[0, :2] == 0).all(), c[0, :2]
+t, l = np.asarray(tok), np.asarray(litw)
+got0 = pa.replay_trace(t[:, 0], l[:, 0], 32768)
+assert got0 == data[:32768]
+got1 = pa.replay_trace(t[:, 1], l[:, 1], 32768, hist=got0)
+assert got1 == data[32768:]
+lz = LzxEncoder(16).compress(data)[0]
+tok, litw, cnt = plx.lzx_phase_a([lz], [len(data)], 16,
+                                 T_PAD=len(data) + 4096)
+c = np.asarray(cnt)
+assert c[0, 0] == 0 and c[1, 0] == len(data)
+got = plx.replay_trace(np.asarray(tok)[:, 0], np.asarray(litw)[:, 0],
+                       len(data), 16)
+assert got == data
+print("COMPILED-CHIP-OK")
+'''
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=1500)
+    assert "COMPILED-CHIP-OK" in r.stdout, r.stderr[-2000:]

@@ -39,7 +39,7 @@ def main():
     rng = random.Random(7)
     text = (b"The quick brown fox jumps over the lazy dog. " * 60
             + bytes(rng.randrange(64) for _ in range(2048)))
-    folder_blob = (text * ((8 << 20) // len(text) + 1))[:8 << 20]
+    folder_blob = (text * ((2 << 20) // len(text) + 1))[:2 << 20]
     folders = []
     expects = {}
     for k in range(4):
