@@ -120,8 +120,10 @@ class TpuMszipEngine:
         tstop = int(cnth[2, :n].max()) + 1 if n else 1
         bad_lane = (errs != 0) | (outb != np.asarray(sizes))
         # transpose device-side so lanes are contiguous rows on host
-        tokT = np.asarray(jnp.transpose(tok[:tstop]))
-        litT = np.asarray(jnp.transpose(litw[:tstop]))
+        tokT = np.ascontiguousarray(
+            np.asarray(jnp.transpose(tok[:tstop])), dtype=np.int32)
+        litT = np.ascontiguousarray(
+            np.asarray(jnp.transpose(litw[:tstop])), dtype=np.int32)
 
         # group batch lanes into folder runs
         lane = 0
