@@ -100,3 +100,45 @@ def test_phase_a_multiframe_and_uncompressed():
     assert cnt[1, 0] == len(data)
     got = plx.replay_trace(tok[:, 0], litw[:, 0], len(data), 16)
     assert got == data
+
+
+def test_phase_a_delta_with_reference_data():
+    """LZX DELTA: window-tail reference data + long-match escape.
+    Stream pinned by the scalar decoder first, then the kernel."""
+    import random
+    rng = random.Random(77)
+    base = (b"delta reference base content " * 300
+            + bytes(rng.randrange(256) for _ in range(500)))
+    # new version: mostly the base with edits -> long matches into ref
+    data = bytearray(base)
+    for _ in range(12):
+        p = rng.randrange(len(data) - 30)
+        data[p:p + 8] = bytes(rng.randrange(256) for _ in range(8))
+    data = bytes(data + b"tail addition " * 40)
+    from libmspack_tpu.compress.lzx_e import LzxEncoder
+    wb = 17
+    enc = LzxEncoder(wb, is_delta=True)
+    stream = enc.compress(data, ref_data=base)[0]
+
+    # scalar pin
+    from libmspack_tpu.codecs.lzx import LzxDecompressor
+    pos = [0]
+    def rd(n):
+        b = stream[pos[0]:pos[0] + n]
+        pos[0] += len(b)
+        return b
+    out = bytearray()
+    d = LzxDecompressor(rd, wb, 0, len(data), is_delta=True)
+    d.set_reference_data(base)
+    d.decompress(len(data), out.extend)
+    assert bytes(out) == data
+
+    tok, litw, cnt = plx.lzx_phase_a(
+        [stream], [len(data)], wb, hists=[len(base)], is_delta=True,
+        T_PAD=len(data) + 4096, interpret=True)
+    cnt = np.asarray(cnt)
+    assert cnt[0, 0] == 0, f"err={cnt[0, 0]}"
+    assert cnt[1, 0] == len(data)
+    got = plx.replay_trace(np.asarray(tok)[:, 0], np.asarray(litw)[:, 0],
+                           len(data), wb, ref_data=base)
+    assert got == data
