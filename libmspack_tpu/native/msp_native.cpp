@@ -2247,7 +2247,8 @@ int msp_mszip_folders(const uint8_t* const* frame_ptrs,
 
 // Phase B for the TPU entropy kernel: resolve per-lane token traces
 // (ops/pallas_inflate.py format: -1 NOP, 0x20000000|n literal pack of
-// n bytes in the litw plane, 0x40000000|len<<16|(dist-1) match) into a
+// n bytes in the litw plane, 0x40000000|nl<<25|len<<16|(dist-1) match
+// preceded by nl<=3 packed literals from the litw plane) into a
 // folder's bytes. tok/litw are (n_lanes_total, T) row-major — lane l's
 // trace is the contiguous row l. Frames of the folder are lanes
 // [lane0, lane0+n_frames); history chains across frames.
@@ -2272,6 +2273,16 @@ int msp_resolve_trace(const int32_t* tok, const int32_t* litw, int64_t T,
           out[pos++] = (uint8_t)(w >> (8 * i));
         }
       } else if (v & 0x40000000) {
+        // round-4 kernels carry <= 3 pending literals on match tokens
+        // (bits 25-26; bytes LSB-first in the litword plane)
+        uint32_t nl = ((uint32_t)v >> 25) & 3;
+        if (nl) {
+          uint32_t w = (uint32_t)lw[t];
+          if (pos + nl > target) return 22;
+          for (uint32_t i = 0; i < nl; i++) {
+            out[pos++] = (uint8_t)(w >> (8 * i));
+          }
+        }
         uint32_t l = ((uint32_t)v >> 16) & 0x1FF;
         uint32_t d = ((uint32_t)v & 0x7FFF) + 1;
         if (pos + l > target || d > pos) return 21;

@@ -3,44 +3,62 @@
 Decodes up to LANES independent deflate streams (MSZIP 'CK' frames,
 reference mszipd.c:91-219, with history handled downstream) in one
 kernel launch. Each VPU lane owns one stream; every kernel step decodes
-at most one Huffman symbol per lane and emits at most one *token* per
-lane into a (step, lane) trace. Tokens are later resolved into bytes by
-phase B (host C++ resolver or the device copy machine) — the
-framework's two-phase idiom.
+up to two literal symbols OR one full match (length+distance) per lane
+and emits at most one *token* per lane into a (step, lane) trace.
+Tokens are later resolved into bytes by phase B (host C++ resolver or
+the device copy machine) — the framework's two-phase idiom.
 
 TPU-native design notes (vs the reference's pull-byte loop):
 
-* No gathers. Per-lane Huffman decode uses the canonical-code property:
-  walk code lengths l=1..15 comparing the accumulated code against
-  per-length limits (``first[l]+count[l]``), which yields (len, rank)
-  with rank = code - first[len]. The symbol is recovered by a
-  key-equality sweep over per-lane tables storing (len<<16)|rank per
-  symbol — a compare/select loop, the fast primitive on this VPU.
+* No gathers, no row sweeps. Per-lane Huffman decode uses the
+  canonical-code property: walk code lengths l=1..15 comparing the
+  accumulated code against per-length limits (``first[l]+count[l]``),
+  which yields (len, rank). The symbol is recovered by ONE whole-table
+  pass: compare the (len<<16)|rank key against the full (rows, SL, LN)
+  key table and max-reduce the row iota over axis 0 — a single big VPU
+  op instead of a per-row loop (measured 4.7x faster on the v5e;
+  round-3's per-row fori sweeps were scalar-issue bound at ~110
+  cycles/row).
+* One step decodes a full match: after the main-tree probe finds a
+  length code, the distance code is decoded IN THE SAME STEP from the
+  64-bit bit buffer (length code+extra <= 20 bits from the guaranteed
+  32, then a mid-step refill tops the buffer back up for the <= 28
+  distance bits). Round 3 spent two steps per match.
+* Literal pairs: when the first symbol is a literal, a second length-
+  find runs speculatively on the shifted bits and the probe pass
+  matches both keys against one table read; two literals commit per
+  step (lit1+lit2 <= 30 bits of the guaranteed 32).
+* Matches carry pending literals: a match token has 2 spare bits for
+  the <= 3 not-yet-flushed packed literals riding in its litword, so a
+  literal run followed by a match costs no flush step.
 * Table *construction* is O(1) per code length: ranks are assigned
-  incrementally while the code-length RLE stream is decoded, so the
-  periodic "build" event only derives the 15 first/limit rows.
+  incrementally while the code-length RLE stream is decoded (whole-
+  table masked writes), so the periodic "build" event only derives the
+  15 first/limit rows.
 * Bitstream refill: streams live in HBM as a (W, SL, LN) word grid;
   each *sublane row* of 128 lanes shares a WINR-word VMEM window,
   re-aligned every RPD*SL steps to the row's minimum active read
   cursor by one rectangular (WINR, 1, 128) DMA (single-lane column
   DMAs don't lower on Mosaic — the lane dim must stay whole).
-  In-window fetch is a mask-sum sweep. Lanes of a freshly-re-DMA'd row
-  stall one step; a lane more than WINR-RPD*SL words ahead of its row
-  minimum stalls until the row minimum advances, so callers should
-  sort frames by compressed size to keep rows rate-homogeneous.
+  In-window fetch is one whole-window masked-sum pass yielding TWO
+  words (pre-step + mid-step refill). Consumption is <= 48 bits/step
+  and <= 2 words/step; WINR=128 leaves >= 80 words of row slack per
+  refresh rotation, so no sorting is *required* for progress (sorting
+  streams by compressed size still helps rate-homogeneity).
 * All lane state and every table row is natively (SL, LN)-tiled —
   (8, 128) is the VPU register shape — so the Mosaic compiler never
   needs a vector shape cast (1-D <-> 2-D reshapes of masks don't
   lower on TPU).
 * One token row per step (row index = step, uniform across lanes) —
-  so the trace write is a plain vector store, no scatters. Literals
-  pack 4 per token; matches take two steps (length, then distance).
+  so the trace write is a plain vector store, no scatters.
 
 Token format (int32), one per (step, lane), plus a parallel litword
 plane:
   -1                      NOP (header step, stall, done)
   0x20000000 | n          n in 1..4 literal bytes, LSB-first in litword
-  0x40000000 | len<<16 | (dist-1)   match, len<=258, dist<=32768
+  0x40000000 | nl<<25 | len<<16 | (dist-1)
+                          match, len<=258, dist<=32768, preceded by
+                          nl in 0..3 literal bytes from litword
 
 Counts output rows: 0=err (0 ok; 1 bad data; 2 unfinished at T cap),
 1=output bytes, 2=end step, 3=words consumed.
@@ -56,7 +74,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-WINR = 256        # per-row stream window, words (1 KiB/lane)
+WINR = 128        # per-row stream window, words (512 B/lane)
 RPD = 4           # steps between row-refresh DMAs (row period RPD*SL)
 CHUNK = 128       # token staging rows per HBM flush
 S_ROW = 0         # semaphore indices
@@ -71,16 +89,16 @@ TOK_NOP = -1
 TOK_LIT = 0x20000000
 TOK_MATCH = 0x40000000
 
-# modes
+# modes (M_DIST retired round 4: distance decode fused into M_BODY)
 M_BLKHDR, M_STORED0, M_STORED1, M_STOREDCP = 0, 1, 2, 3
 M_CLHDR, M_CLRAW, M_WAITCL, M_CLLENS = 4, 5, 6, 7
-M_WAITMAIN, M_BODY, M_DIST = 8, 9, 10
+M_WAITMAIN, M_BODY = 8, 9
 M_DONE, M_ERR = 11, 12
 
 BITLEN_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
                 11, 4, 12, 3, 13, 2, 14, 1, 15)
 
-BUILD_PERIOD = 32
+BUILD_PERIOD = 8
 
 DEBUG_LANE = None  # set to a lane id to step-trace it (interpret mode)
 
@@ -113,7 +131,7 @@ _FIXK_L, _FIXF_L, _FIXL_L = _canonical_keys(FIXED_LIT_LENS, NLIT)
 _FIXK_D, _FIXF_D, _FIXL_D = _canonical_keys(FIXED_DIST_LENS[:30], NDIST)
 
 
-def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
+def _kernel(stream_hbm, hist_ref, fixk_ref, fixd_ref, fixf_ref,
             tok_hbm, litw_hbm, cnt_ref,
             win_ref, symkey, distkey, clkey,
             limlit, firstlit, cntlit,
@@ -121,7 +139,6 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
             limcl, firstcl, cntcl, runcl,
             stage_tok, stage_lit, mintmp, sems,
             *, SL, LN, W, T_PAD):
-    L = SL * LN
     i32 = jnp.int32
     u32 = jnp.uint32
     rowi = jax.lax.broadcasted_iota(i32, (SL, LN), 0)
@@ -133,6 +150,12 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
     rowv = laneid // LN
     zero = jnp.zeros((SL, LN), i32)
     zero_u = jnp.zeros((SL, LN), u32)
+
+    rio_win = jax.lax.broadcasted_iota(i32, (WINR, SL, LN), 0)
+    rio_lit = jax.lax.broadcasted_iota(i32, (NLIT, SL, LN), 0)
+    rio_dst = jax.lax.broadcasted_iota(i32, (NDIST, SL, LN), 0)
+    rio_cl = jax.lax.broadcasted_iota(i32, (NCL, SL, LN), 0)
+    rio_16 = jax.lax.broadcasted_iota(i32, (16, SL, LN), 0)
 
     def vfull(v, dt=i32):
         return jnp.full((SL, LN), v, dt)
@@ -164,23 +187,38 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
                         jnp.where(k == 32, zero_u, hi >> ku))
         return lo2, hi2, navail - k
 
-    def sweep_fetch(off):
-        """Per-lane word win[off[lane], lane] via compare/select."""
-        w = zero_u
-        def body(n, w):
-            return jnp.where(off == n, win_ref[n], w)
-        return jax.lax.fori_loop(0, WINR, body, w)
+    def insert(lo, hi, navail, w, need):
+        """Append word w at bit navail where need (navail < 32)."""
+        nau = navail.astype(u32)
+        lo2 = jnp.where(need & (navail == 0), w, lo)
+        lo2 = jnp.where(need & (navail > 0), lo | (w << nau), lo2)
+        hi_in = w >> (u32(32) - jnp.clip(navail, 1, 31).astype(u32))
+        hi2 = jnp.where(need & (navail > 0), hi | hi_in, hi)
+        return lo2, hi2, navail + jnp.where(need, 32, 0)
 
-    def gather16(tab, idx):
-        """Per-lane tab[idx[lane], lane] for a 16-row table."""
-        v = zero
-        def body(n, v):
-            return jnp.where(idx == n, tab[n], v)
-        return jax.lax.fori_loop(0, 16, body, v)
+    def lenfind(blo, lim_rows):
+        """Canonical length-find: (length, rank); length==16 = miss.
+
+        lim_rows[l] -> (limit (SL,LN), first (SL,LN)) per code length;
+        called with a python list of 16 (limit, first) pairs so all
+        table reads are static row indices."""
+        length = vfull(16)
+        acc = zero
+        rank = zero
+        for l in range(1, 16):
+            bit = ((blo >> u32(l - 1)) & u32(1)).astype(i32)
+            acc = (acc << 1) | bit
+            lim, fst = lim_rows[l]
+            hit = jnp.logical_and(acc < lim, length == 16)
+            length = jnp.where(hit, l, length)
+            rank = jnp.where(hit, acc - fst, rank)
+        ok = length < 16
+        length = jnp.where(ok, length, 0)
+        return length, rank, ok
 
     def step(state):
         (t, _alldone, mode, bitlo, bithi, navail, wpos, base, pend,
-         outpos, litword, litcnt, pendlen, finalf, prevlen,
+         outpos, litword, litcnt, finalf, prevlen,
          fillpos, nlit, ndist, npre, clraw_i, stored_rem,
          err, donestep) = state
 
@@ -215,19 +253,24 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         base = jnp.where(issued, wmin, base)
         pend = jnp.where(issued, vfull(1), pend)
 
-        # ---------- fetch: one conditional 32-bit refill ------------
+        # ---------- fetch pass: TWO words per lane, one window read ---
         off = wpos - base
-        can = jnp.logical_and(pend == 0, off < WINR)
-        need = jnp.logical_and(navail < 32, jnp.logical_and(can, wpos < W))
-        w = sweep_fetch(jnp.where(need, off, vfull(WINR)))
-        nau = navail.astype(u32)
-        bitlo = jnp.where(need & (navail == 0), w, bitlo)
-        bitlo = jnp.where(need & (navail > 0), bitlo | (w << nau), bitlo)
-        # NB: clip in i32 — u32 min/max doesn't lower on Mosaic
-        hi_in = w >> (u32(32) - jnp.clip(navail, 1, 31).astype(u32))
-        bithi = jnp.where(need & (navail > 0), bithi | hi_in, bithi)
-        navail = navail + jnp.where(need, 32, 0)
+        ok_win = pend == 0
+        can_a = ok_win & (off < WINR) & (wpos < W)
+        can_b = ok_win & (off + 1 < WINR) & (wpos + 1 < W)
+        sel_a = jnp.where(can_a, off, vfull(WINR))
+        sel_b = jnp.where(can_b, off + 1, vfull(WINR))
+        win3 = win_ref[:].astype(i32)
+        wa = jnp.sum(jnp.where(rio_win == sel_a[None], win3, 0),
+                     axis=0).astype(u32)
+        wb = jnp.sum(jnp.where(rio_win == sel_b[None], win3, 0),
+                     axis=0).astype(u32)
+
+        # ---------- pre-step refill ----------------------------------
+        need = jnp.logical_and(navail < 32, can_a)
+        bitlo, bithi, navail = insert(bitlo, bithi, navail, wa, need)
         wpos = jnp.where(need, wpos + 1, wpos)
+        used_a = need
         # past end of stream: fake zero refill (reference readbits.h:198)
         at_end = jnp.logical_and(navail < 32, wpos >= W)
         navail = jnp.where(at_end, 64, navail)
@@ -235,47 +278,34 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         go = navail >= 32   # lanes below stall this step
 
         is_body = jnp.logical_and(go, mode == M_BODY)
-        is_dist = jnp.logical_and(go, mode == M_DIST)
         is_cll = jnp.logical_and(go, mode == M_CLLENS)
 
-        # ---------- shared canonical length-find ---------------------
-        lim0 = jnp.where(is_body, 0, jnp.where(is_dist, 1, 2))
-        blo = bitlo
-        length = vfull(16)
-        code = zero
-        rank = zero
-        def lf(l, st):
-            length, acc, code, rank = st
-            bit = ((blo >> u32(l - 1)) & u32(1)).astype(i32)
-            c = (acc << 1) | bit
-            lim = jnp.where(
-                lim0 == 0, limlit[l],
-                jnp.where(lim0 == 1, limdist[l], limcl[l]))
-            fst = jnp.where(
-                lim0 == 0, firstlit[l],
-                jnp.where(lim0 == 1, firstdist[l], firstcl[l]))
-            hit = jnp.logical_and(c < lim, length == 16)
-            return (jnp.where(hit, l, length), c,
-                    jnp.where(hit, c, code),
-                    jnp.where(hit, c - fst, rank))
-        length, _, code, rank = jax.lax.fori_loop(
-            1, 16, lf, (length, zero, code, rank))
-        key = (length << 16) | rank
-        codelen_ok = length < 16
-        length = jnp.where(length == 16, 0, length)
+        # ---------- find1 (+ speculative find2) ----------------------
+        lim_rows1 = []
+        lim_rows2 = []
+        for l in range(16):
+            ll, fl = limlit[l], firstlit[l]
+            lc, fc = limcl[l], firstcl[l]
+            lim_rows1.append((jnp.where(is_cll, lc, ll),
+                              jnp.where(is_cll, fc, fl)))
+            lim_rows2.append((ll, fl))
+        len1, rank1, ok1 = lenfind(bitlo, lim_rows1)
+        key1 = (len1 << 16) | rank1
+        blo2 = bitlo >> jnp.clip(len1, 0, 31).astype(u32)
+        len2, rank2, ok2 = lenfind(blo2, lim_rows2)
+        key2 = (len2 << 16) | rank2
 
-        # ---------- symbol probes (gated sweeps) ---------------------
-        def probe(tab, rows, active):
-            def run(_):
-                def body(n, s):
-                    hit = jnp.logical_and(active, key == tab[n])
-                    return jnp.where(hit, n, s)
-                return jax.lax.fori_loop(0, rows, body, nneg1)
-            return jax.lax.cond(jnp.any(active), run,
-                                lambda _: nneg1, 0)
-        litsym = probe(symkey, NLIT, is_body)
-        dsym = probe(distkey, NDIST, is_dist)
-        clsym = probe(clkey, NCL, is_cll)
+        # ---------- symbol probes (whole-table passes, ungated) ------
+        # the vectorized pass is cheap enough to run every step; a
+        # lax.cond gate costs a cross-lane any() reduction + branch
+        t3 = symkey[:]
+        litsym = jnp.max(jnp.where(t3 == key1[None], rio_lit, -1),
+                         axis=0)
+        litsym2 = jnp.max(jnp.where(t3 == key2[None], rio_lit, -1),
+                          axis=0)
+        c3 = clkey[:]
+        clsym = jnp.max(jnp.where(c3 == key1[None], rio_cl, -1),
+                        axis=0)
 
         tok = vfull(TOK_NOP)
         litw_out = zero
@@ -287,7 +317,7 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
 
         # ---------- M_BODY -------------------------------------------
         b_bad = jnp.logical_and(is_body,
-                                jnp.logical_or(~codelen_ok, litsym < 0))
+                                jnp.logical_or(~ok1, litsym < 0))
         sym = litsym
         is_lit = jnp.logical_and(is_body, jnp.logical_and(sym >= 0,
                                                           sym < 256))
@@ -295,59 +325,95 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         is_len = jnp.logical_and(is_body, sym >= 257)
         slot = sym - 257
         b_bad = jnp.logical_or(b_bad, jnp.logical_and(is_len, slot >= 29))
+        is_len = jnp.logical_and(is_len, ~b_bad)
         e_len = jnp.where(slot < 8, 0, (slot - 4) >> 2)
         e_len = jnp.where(slot >= 28, 0, e_len)
         base_len = jnp.where(slot < 8, slot + 3,
                              ((4 + (slot & 3)) << jnp.maximum(e_len, 0)) + 3)
         base_len = jnp.where(slot >= 28, 258, base_len)
-        # consume code + length extra in one go
-        ebits = jnp.where(is_len, e_len, 0)
-        kbody = jnp.where(is_body & ~b_bad, length + ebits, 0)
-        extrav = ((bitlo >> jnp.clip(length, 0, 31).astype(u32))
-                  & ((u32(1) << ebits.astype(u32)) - u32(1))).astype(i32)
+        extrav = ((bitlo >> jnp.clip(len1, 0, 31).astype(u32))
+                  & ((u32(1) << e_len.astype(u32)) - u32(1))).astype(i32)
         mlen = base_len + extrav
 
-        # literal packing
-        litword2 = jnp.where(is_lit & (litcnt == 0), sym, litword)
-        litword2 = jnp.where(is_lit & (litcnt > 0),
-                             litword | (sym << (8 * litcnt)), litword2)
-        litcnt2 = jnp.where(is_lit, litcnt + 1, litcnt)
-        flush4 = jnp.logical_and(is_lit, litcnt2 == 4)
-        flushn = jnp.logical_and(jnp.logical_or(is_eob, is_len),
-                                 litcnt > 0)
-        do_flush = jnp.logical_or(flush4, flushn)
-        nflush = jnp.where(flush4, 4, litcnt)
-        tok = jnp.where(do_flush, TOK_LIT | nflush, tok)
-        litw_out = jnp.where(do_flush, litword2, litw_out)
-        outpos = outpos + jnp.where(do_flush, nflush, 0)
-        litcnt = jnp.where(do_flush, 0, litcnt2)
-        litword = jnp.where(do_flush, 0, litword2)
+        # --- match path: consume len code, mid-refill, decode dist ---
+        k1 = jnp.where(is_len, len1 + e_len, 0)
+        lo_m, hi_m, nav_m = consume(bitlo, bithi, navail, k1)
+        w_m = jnp.where(used_a, wb, wa)
+        # NB: select on i1 vectors doesn't lower ("unsupported target
+        # bitwidth for truncation") — use boolean algebra
+        can_m = (used_a & can_b) | (~used_a & can_a)
+        need_m = is_len & (nav_m < 32) & can_m
+        lo_m, hi_m, nav_m = insert(lo_m, hi_m, nav_m, w_m, need_m)
+        at_end_m = is_len & (nav_m < 32) & (wpos + jnp.where(need_m, 1, 0)
+                                            >= W)
+        nav_m = jnp.where(at_end_m, 64, nav_m)
+        # a match lane that cannot see 28 distance bits stalls whole
+        m_stall = is_len & (nav_m < 28)
+        m_go = is_len & ~m_stall
 
-        pendlen = jnp.where(is_len, mlen, pendlen)
-        new_mode = jnp.where(is_len, M_DIST, new_mode)
-        new_mode = jnp.where(is_eob & (finalf > 0), M_DONE, new_mode)
-        new_mode = jnp.where(is_eob & (finalf == 0), M_BLKHDR, new_mode)
-        new_mode, new_err = seterr(b_bad, new_mode, new_err)
+        lim_rows_d = [(limdist[l], firstdist[l]) for l in range(16)]
+        dlen, drank, okd = lenfind(lo_m, lim_rows_d)
+        keyd = (dlen << 16) | drank
+        d3 = distkey[:]
+        dsym = jnp.max(jnp.where(d3 == keyd[None], rio_dst, -1),
+                       axis=0)
 
-        # ---------- M_DIST -------------------------------------------
-        d_bad = jnp.logical_and(is_dist,
-                                jnp.logical_or(~codelen_ok, dsym < 0))
+        d_bad = jnp.logical_and(m_go,
+                                jnp.logical_or(~okd, dsym < 0))
         e_d = jnp.maximum((dsym >> 1) - 1, 0)
         base_d = jnp.where(dsym < 2, dsym + 1,
                            ((2 + (dsym & 1)) << e_d) + 1)
-        dext = ((bitlo >> jnp.clip(length, 0, 31).astype(u32))
-                & ((u32(1) << jnp.where(is_dist, e_d, 0).astype(u32))
+        dext = ((lo_m >> jnp.clip(dlen, 0, 31).astype(u32))
+                & ((u32(1) << jnp.where(m_go, e_d, 0).astype(u32))
                    - u32(1))).astype(i32)
         dist = base_d + dext
+        # outpos already includes pending (unflushed) literals — they
+        # are counted at pack time
         d_bad = jnp.logical_or(
-            d_bad, jnp.logical_and(is_dist,
-                                   dist > outpos + hist_ref[:]))
-        kdist = jnp.where(is_dist & ~d_bad, length + e_d, 0)
-        okd = jnp.logical_and(is_dist, ~d_bad)
-        tok = jnp.where(okd, TOK_MATCH | (pendlen << 16) | (dist - 1), tok)
-        outpos = outpos + jnp.where(okd, pendlen, 0)
-        new_mode = jnp.where(okd, M_BODY, new_mode)
+            d_bad, jnp.logical_and(m_go, dist > outpos + hist_ref[:]))
+        okm = jnp.logical_and(m_go, ~d_bad)
+        k2 = jnp.where(okm, dlen + e_d, 0)
+        lo_m, hi_m, nav_m = consume(lo_m, hi_m, nav_m, k2)
+        # match token carries the <= 3 pending literals
+        tok = jnp.where(okm, TOK_MATCH | (litcnt << 25) | (mlen << 16)
+                        | (dist - 1), tok)
+        litw_out = jnp.where(okm, litword, litw_out)
+        outpos = outpos + jnp.where(okm, mlen, 0)
+        litcnt_m = jnp.where(okm, 0, litcnt)
+        litword_m = jnp.where(okm, 0, litword)
         new_mode, new_err = seterr(d_bad, new_mode, new_err)
+
+        # --- literal path: 1-2 literals per step ----------------------
+        lit2_ok = (is_lit & ok2 & (litsym2 >= 0) & (litsym2 < 256))
+        n_add = jnp.where(is_lit, 1, 0) + jnp.where(lit2_ok, 1, 0)
+        sym2 = jnp.maximum(litsym2, 0)
+        b1 = jnp.maximum(sym, 0) << (8 * jnp.clip(litcnt, 0, 3))
+        litword_a = jnp.where(is_lit, litword | b1, litword)
+        b2pos = litcnt + 1
+        litword_a = jnp.where(lit2_ok & (b2pos <= 3),
+                              litword_a | (sym2 << (8 * jnp.clip(
+                                  b2pos, 0, 3))), litword_a)
+        total = litcnt + n_add  # <= 5
+        flush4 = jnp.logical_and(is_lit, total >= 4)
+        flushn = jnp.logical_and(is_eob, litcnt > 0)
+        do_flush = jnp.logical_or(flush4, flushn)
+        nflush = jnp.where(flush4, 4, litcnt)
+        tok = jnp.where(do_flush, TOK_LIT | nflush, tok)
+        litw_out = jnp.where(do_flush, litword_a, litw_out)
+        outpos = outpos + jnp.where(is_lit, n_add, 0)
+        carry = jnp.where(total == 5, sym2, 0)
+        litcnt_l = jnp.where(flush4, total - 4, total)
+        litword_l = jnp.where(flush4, carry, litword_a)
+        litcnt = jnp.where(is_lit, litcnt_l,
+                           jnp.where(do_flush, 0, litcnt_m))
+        litword = jnp.where(is_lit, litword_l,
+                            jnp.where(do_flush, 0, litword_m))
+        klit = jnp.where(is_lit, len1 + jnp.where(lit2_ok, len2, 0), 0)
+        keob = jnp.where(is_eob, len1, 0)
+
+        new_mode = jnp.where(is_eob & (finalf > 0), M_DONE, new_mode)
+        new_mode = jnp.where(is_eob & (finalf == 0), M_BLKHDR, new_mode)
+        new_mode, new_err = seterr(b_bad, new_mode, new_err)
 
         # ---------- M_BLKHDR -----------------------------------------
         is_hdr = jnp.logical_and(go, mode == M_BLKHDR)
@@ -378,28 +444,22 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         prevlen = jnp.where(is_clh, 0, prevlen)
         new_mode = jnp.where(is_clh & ~clh_bad, M_CLRAW, new_mode)
         new_mode, new_err = seterr(clh_bad, new_mode, new_err)
-        # invalidate per-lane tables entering a dynamic block
-        @pl.when(jnp.any(is_clh))
-        def _():
-            m = is_clh
-            def inval(n, _):
-                symkey[n] = jnp.where(m, vfull(-1), symkey[n])
-                return 0
-            jax.lax.fori_loop(0, NLIT, inval, 0)
-            def invald(n, _):
-                distkey[n] = jnp.where(m, vfull(-1), distkey[n])
-                return 0
-            jax.lax.fori_loop(0, NDIST, invald, 0)
-            def invalc(n, _):
-                clkey[n] = jnp.where(m, vfull(-1), clkey[n])
-                return 0
-            jax.lax.fori_loop(0, NCL, invalc, 0)
-            def zcnt(n, _):
-                cntlit[n] = jnp.where(m, zero, cntlit[n])
-                cntdist[n] = jnp.where(m, zero, cntdist[n])
-                cntcl[n] = jnp.where(m, zero, cntcl[n])
-                return 0
-            jax.lax.fori_loop(0, 16, zcnt, 0)
+        # invalidate per-lane tables entering a dynamic block.
+        # UNCONDITIONAL masked passes: a vector-predicate gate
+        # (pl.when(jnp.any(...)) / lax.cond) costs ~100 us on this
+        # chip (cross-lane reduce + branch); the masked whole-table
+        # write is ~0.5 us.
+        m3l = is_clh[None]
+        symkey[:] = jnp.where(m3l & (rio_lit >= 0), vfull(-1)[None],
+                              symkey[:])
+        distkey[:] = jnp.where(m3l & (rio_dst >= 0), vfull(-1)[None],
+                               distkey[:])
+        clkey[:] = jnp.where(m3l & (rio_cl >= 0), vfull(-1)[None],
+                             clkey[:])
+        z16 = zero[None]
+        cntlit[:] = jnp.where(m3l & (rio_16 >= 0), z16, cntlit[:])
+        cntdist[:] = jnp.where(m3l & (rio_16 >= 0), z16, cntdist[:])
+        cntcl[:] = jnp.where(m3l & (rio_16 >= 0), z16, cntcl[:])
 
         # ---------- M_CLRAW: one 3-bit pre-tree length per step -------
         is_clr = jnp.logical_and(go, mode == M_CLRAW)
@@ -413,25 +473,18 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         # BITLEN_ORDER, not symbol order, so incremental ranks would
         # come out permuted)
         wr_cl = jnp.logical_and(is_clr, clv > 0)
-        @pl.when(jnp.any(is_clr))
-        def _():
-            keyv = clv << 16
-            def wr(n, _):
-                clkey[n] = jnp.where(wr_cl & (ordv == n), keyv, clkey[n])
-                return 0
-            jax.lax.fori_loop(0, NCL, wr, 0)
-            def upc(n, _):
-                cntcl[n] = cntcl[n] + jnp.where(wr_cl & (clv == n),
-                                                vfull(1), zero)
-                return 0
-            jax.lax.fori_loop(0, 16, upc, 0)
+        mw = wr_cl[None] & (rio_cl == ordv[None])
+        clkey[:] = jnp.where(mw, (clv << 16)[None], clkey[:])
+        mc0 = wr_cl[None] & (rio_16 == clv[None])
+        cntcl[:] = cntcl[:] + jnp.where(mc0, vfull(1)[None],
+                                        zero[None])
         clraw_i = clraw_i + jnp.where(is_clr, 1, 0)
         new_mode = jnp.where(is_clr & (clraw_i >= npre), M_WAITCL,
                              new_mode)
 
         # ---------- M_CLLENS: one RLE op per step ---------------------
         c_bad = jnp.logical_and(is_cll,
-                                jnp.logical_or(~codelen_ok, clsym < 0))
+                                jnp.logical_or(~ok1, clsym < 0))
         cl_lit = jnp.logical_and(is_cll, jnp.logical_and(clsym >= 0,
                                                          clsym < 16))
         cl_16 = jnp.logical_and(is_cll, clsym == 16)
@@ -439,9 +492,9 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
         cl_18 = jnp.logical_and(is_cll, clsym == 18)
         rext = jnp.where(cl_16, 2, jnp.where(cl_17, 3,
                                              jnp.where(cl_18, 7, 0)))
-        rval = ((bitlo >> jnp.clip(length, 0, 31).astype(u32))
+        rval = ((bitlo >> jnp.clip(len1, 0, 31).astype(u32))
                 & ((u32(1) << rext.astype(u32)) - u32(1))).astype(i32)
-        kcll = jnp.where(is_cll & ~c_bad, length + rext, 0)
+        kcll = jnp.where(is_cll & ~c_bad, len1 + rext, 0)
         run = jnp.where(cl_lit, 1,
                         jnp.where(cl_16, 3 + rval,
                                   jnp.where(cl_17, 3 + rval,
@@ -453,35 +506,30 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
             is_cll, fillpos + run > nlit + ndist))
         act = jnp.logical_and(is_cll, ~c_bad)
         wr_any = jnp.logical_and(act, val > 0)
-        # rank bases for the two tables
-        rb_lit = gather16(cntlit, jnp.where(wr_any, val, 15))
-        rb_dist = gather16(cntdist, jnp.where(wr_any, val, 15))
         nlit_in_run = jnp.clip(nlit - fillpos, 0, run)
-        @pl.when(jnp.any(wr_any))
-        def _():
-            def wrl(n, _):
-                inr = (wr_any & (n >= fillpos) & (n < fillpos + run)
-                       & (n < nlit))
-                kv = (val << 16) | (rb_lit + (n - fillpos))
-                symkey[n] = jnp.where(inr, kv, symkey[n])
-                return 0
-            jax.lax.fori_loop(0, NLIT, wrl, 0)
-            def wrd(n, _):
-                a = nlit + n
-                inr = wr_any & (a >= fillpos) & (a < fillpos + run)
-                kv = (val << 16) | (rb_dist
-                                    + (a - jnp.maximum(fillpos, nlit)))
-                distkey[n] = jnp.where(inr, kv, distkey[n])
-                return 0
-            jax.lax.fori_loop(0, NDIST, wrd, 0)
-            def upcnt(n, _):
-                addl = jnp.where(wr_any & (val == n), nlit_in_run, zero)
-                addd = jnp.where(wr_any & (val == n), run - nlit_in_run,
-                                 zero)
-                cntlit[n] = cntlit[n] + addl
-                cntdist[n] = cntdist[n] + addd
-                return 0
-            jax.lax.fori_loop(0, 16, upcnt, 0)
+        # rank bases: current count of codes at this length
+        rb_lit = jnp.sum(jnp.where(rio_16 == val[None], cntlit[:],
+                                   0), axis=0)
+        rb_dst = jnp.sum(jnp.where(rio_16 == val[None], cntdist[:],
+                                   0), axis=0)
+        inr = (wr_any[None] & (rio_lit >= fillpos[None])
+               & (rio_lit < (fillpos + run)[None])
+               & (rio_lit < nlit[None]))
+        kv = ((val << 16)[None]
+              | (rb_lit[None] + (rio_lit - fillpos[None])))
+        symkey[:] = jnp.where(inr, kv, symkey[:])
+        a3 = rio_dst + nlit[None]
+        inrd = (wr_any[None] & (a3 >= fillpos[None])
+                & (a3 < (fillpos + run)[None]))
+        kvd = ((val << 16)[None]
+               | (rb_dst[None]
+                  + (a3 - jnp.maximum(fillpos, nlit)[None])))
+        distkey[:] = jnp.where(inrd, kvd, distkey[:])
+        mc = wr_any[None] & (rio_16 == val[None])
+        cntlit[:] = cntlit[:] + jnp.where(mc, nlit_in_run[None],
+                                          zero[None])
+        cntdist[:] = cntdist[:] + jnp.where(
+            mc, (run - nlit_in_run)[None], zero[None])
         prevlen = jnp.where(cl_lit, jnp.maximum(clsym, 0), prevlen)
         fillpos = fillpos + jnp.where(act, run, 0)
         new_mode = jnp.where(act & (fillpos >= nlit + ndist),
@@ -523,16 +571,28 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
                              jnp.where(finalf > 0, M_DONE, M_BLKHDR),
                              new_mode)
 
-        # ---------- consume ------------------------------------------
-        k = (kbody + kdist + khdr + kclh + kclr + kcll + ks0 + ks1 + ksc)
-        bitlo, bithi, navail = consume(bitlo, bithi, navail, k)
+        # ---------- merge bit-buffer state ----------------------------
+        k_nm = (klit + keob + khdr + kclh + kclr + kcll + ks0 + ks1
+                + ksc)
+        lo_n, hi_n, nav_n = consume(bitlo, bithi, navail, k_nm)
+        mtaken = okm  # match committed this step
+        bitlo = jnp.where(mtaken, lo_m, lo_n)
+        bithi = jnp.where(mtaken, hi_m, hi_n)
+        navail = jnp.where(mtaken, nav_m, nav_n)
+        wpos = wpos + jnp.where(need_m & mtaken, 1, 0)
+        # stalled match lanes keep their pre-consume state (the pre-
+        # refill already committed, which is fine)
+        bitlo = jnp.where(m_stall, lo_n, bitlo)  # k_nm==0 for them
+        bithi = jnp.where(m_stall, hi_n, bithi)
+        navail = jnp.where(m_stall, nav_n, navail)
 
-        # ---------- periodic build event ------------------------------
+        # ---------- build event --------------------------------------
+        # gated on the SCALAR step counter only (a jnp.any() vector
+        # predicate would cost a cross-lane reduce per step); lanes not
+        # waiting are masked inside.
         wait_cl = new_mode == M_WAITCL
         wait_main = new_mode == M_WAITMAIN
-        do_build = jnp.logical_and(
-            jax.lax.rem(t, BUILD_PERIOD) == BUILD_PERIOD - 1,
-            jnp.any(jnp.logical_or(wait_cl, wait_main)))
+        do_build = jax.lax.rem(t, BUILD_PERIOD) == BUILD_PERIOD - 1
         fixreq = jnp.logical_and(wait_main, npre < 0)
         @pl.when(do_build)
         def _():
@@ -540,32 +600,24 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
             mmain = wait_main
             mfix = fixreq
             # canonical CL ranks, assigned in symbol order
-            def zrun(n, _):
-                runcl[n] = jnp.where(mcl, zero, runcl[n])
-                return 0
-            jax.lax.fori_loop(0, 16, zrun, 0)
-            def clrank(s, _):
+            runcl[:] = jnp.where(mcl[None] & (rio_16 >= 0), zero[None],
+                                 runcl[:])
+            for s in range(NCL):
                 lenv = clkey[s] >> 16  # -1 rows stay negative
-                rk = zero
-                def g(n, rk):
-                    return jnp.where(lenv == n, runcl[n], rk)
-                rk = jax.lax.fori_loop(1, 16, g, rk)
-                def inc(n, _):
-                    runcl[n] = runcl[n] + jnp.where(mcl & (lenv == n),
-                                                    vfull(1), zero)
-                    return 0
-                jax.lax.fori_loop(1, 16, inc, 0)
-                clkey[s] = jnp.where(mcl & (lenv > 0),
-                                     (lenv << 16) | rk, clkey[s])
-                return 0
-            jax.lax.fori_loop(0, NCL, clrank, 0)
+                r3 = runcl[:]
+                sel = rio_16 == lenv[None]
+                rk = jnp.sum(jnp.where(sel, r3, 0), axis=0)
+                upd = (mcl & (lenv > 0))
+                runcl[:] = r3 + jnp.where(sel & upd[None],
+                                          vfull(1)[None], zero[None])
+                clkey[s] = jnp.where(upd, (lenv << 16) | rk, clkey[s])
             firstcl[0] = jnp.where(mcl, zero, firstcl[0])
             limcl[0] = jnp.where(mcl, zero, limcl[0])
             firstlit[0] = jnp.where(mmain, zero, firstlit[0])
             limlit[0] = jnp.where(mmain, zero, limlit[0])
             firstdist[0] = jnp.where(mmain, zero, firstdist[0])
             limdist[0] = jnp.where(mmain, zero, limdist[0])
-            def bl(l, _):
+            for l in range(1, 16):
                 fc = (firstcl[l - 1] + cntcl[l - 1]) << 1
                 firstcl[l] = jnp.where(mcl, fc, firstcl[l])
                 limcl[l] = jnp.where(mcl, fc + cntcl[l], limcl[l])
@@ -577,22 +629,15 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
                 firstdist[l] = jnp.where(mmain & ~mfix, fd, firstdist[l])
                 limdist[l] = jnp.where(mmain & ~mfix,
                                        fd + cntdist[l], limdist[l])
-                return 0
-            jax.lax.fori_loop(1, 16, bl, 0)
-            # fixed-tree lanes: constant tables
+            # fixed-tree lanes: constant tables (prebuilt 3-D inputs)
             @pl.when(jnp.any(mfix))
             def _():
-                def fixrow(n, _):
-                    symkey[n] = jnp.where(mfix, zero + fixk_ref[n, 0],
-                                          symkey[n])
-                    return 0
-                jax.lax.fori_loop(0, NLIT, fixrow, 0)
-                def fixd(n, _):
-                    distkey[n] = jnp.where(mfix, zero + fixk_ref[n, 1],
-                                           distkey[n])
-                    return 0
-                jax.lax.fori_loop(0, NDIST, fixd, 0)
-                def fixl(l, _):
+                mf3 = mfix[None]
+                symkey[:] = jnp.where(mf3 & (rio_lit >= 0), fixk_ref[:],
+                                      symkey[:])
+                distkey[:] = jnp.where(mf3 & (rio_dst >= 0), fixd_ref[:],
+                                       distkey[:])
+                for l in range(16):
                     firstlit[l] = jnp.where(mfix, zero + fixf_ref[l, 0],
                                             firstlit[l])
                     limlit[l] = jnp.where(mfix, zero + fixf_ref[l, 1],
@@ -601,25 +646,23 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
                                              firstdist[l])
                     limdist[l] = jnp.where(mfix, zero + fixf_ref[l, 3],
                                            limdist[l])
-                    return 0
-                jax.lax.fori_loop(0, 16, fixl, 0)
         built = jnp.logical_and(do_build, jnp.logical_or(wait_cl,
                                                          wait_main))
         # over-subscription check (reference make_decode_table rejects
         # with INF_ERR_LITERALTBL/DISTANCETBL, mszipd.c:120-143): a
         # built table with limit[l] > 2^l would decode ambiguously.
+        # computed unconditionally (45 row reads of vector compares —
+        # cheaper than any scalar-gate machinery), applied via `built`.
         def oversub(lim):
-            def body(l, bad):
-                return bad | jnp.where(lim[l] > (1 << l), 1, 0)
-            return jax.lax.fori_loop(1, 16, body, zero)
-        def kraft_check(_):
-            bad_cl = oversub(limcl)
-            bad_main = oversub(limlit) | oversub(limdist)
-            return jnp.where(wait_cl, bad_cl,
-                             jnp.where(wait_main & ~fixreq, bad_main,
-                                       zero))
-        bad_tbl = jax.lax.cond(do_build, kraft_check,
-                               lambda _: nz, 0) > 0
+            bad = zero
+            for l in range(1, 16):
+                bad = bad | jnp.where(lim[l] > (1 << l), 1, 0)
+            return bad
+        bad_cl = oversub(limcl)
+        bad_main = oversub(limlit) | oversub(limdist)
+        bad_tbl = jnp.where(wait_cl, bad_cl,
+                            jnp.where(wait_main & ~fixreq, bad_main,
+                                      zero)) > 0
         new_mode = jnp.where(jnp.logical_and(built, wait_cl), M_CLLENS,
                              new_mode)
         new_mode = jnp.where(jnp.logical_and(built, wait_main), M_BODY,
@@ -659,26 +702,29 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
             def ext(v):
                 return jnp.sum(jnp.where(laneid == gl, v.astype(i32), 0))
             pl.debug_print(
-                "t={} mode={} nm={} na={} wpos={} lo={} tok={} k={} "
-                "sym={} len={} fp/rk={} run={} val={} b7={} code={} key={}",
+                "t={} mode={} nm={} na={} wpos={} lo={} tok={} "
+                "sym={} s2={} len1={} dsym={} dist={} mlen={} lc={} out={}",
                 t, ext(mode), ext(new_mode), ext(navail), ext(wpos),
-                ext(bitlo & u32(0x7FFFFFFF)), ext(tok), ext(k),
-                ext(jnp.where(is_cll, clsym, litsym)), ext(length),
-                ext(jnp.where(is_cll, fillpos, rank)),
-                ext(run), ext(val),
-                ext((blo & u32(127))),
-                ext(code), ext(key))
+                ext(bitlo & u32(0x7FFFFFFF)), ext(tok),
+                ext(jnp.where(is_cll, clsym, litsym)), ext(litsym2),
+                ext(len1), ext(dsym), ext(dist), ext(mlen),
+                ext(litcnt), ext(outpos))
 
         donestep = jnp.where(
             jnp.logical_and(donestep < 0, new_mode >= M_DONE), t,
             donestep)
         # scalar all-done flag: the while cond must not reduce a vector
         # carry (Mosaic would demand a lane-replicated carry layout,
-        # which {0,0} vectors can't relayout to)
-        alldone = jnp.where(jnp.all(new_mode >= M_DONE),
-                            jnp.int32(1), jnp.int32(0))
+        # which {0,0} vectors can't relayout to). The cross-lane all()
+        # reduce is expensive — poll it only every 16 steps (costs at
+        # most 15 no-op trailing steps).
+        def poll_done(_):
+            return jnp.where(jnp.all(new_mode >= M_DONE),
+                             jnp.int32(1), jnp.int32(0))
+        alldone = jax.lax.cond(jax.lax.rem(t, 16) == 15, poll_done,
+                               lambda _: jnp.int32(0), 0)
         return (t + 1, alldone, new_mode, bitlo, bithi, navail, wpos,
-                base, pend, outpos, litword, litcnt, pendlen, finalf,
+                base, pend, outpos, litword, litcnt, finalf,
                 prevlen, fillpos, nlit, ndist, npre, clraw_i,
                 stored_rem, new_err, donestep)
 
@@ -689,11 +735,11 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
     # init via laneid so every carry already has the body's layout
     nz_u = nz.astype(u32)
     init = (jnp.int32(0), jnp.int32(0), nz + M_BLKHDR, nz_u, nz_u,
-            nz, nz, nz, nz, nz, nz, nz, nz, nz, nz, nz,
+            nz, nz, nz, nz, nz, nz, nz, nz, nz, nz,
             nz, nz, nz, nz, nz, nz, nneg1)
     final = jax.lax.while_loop(cond, step, init)
     (t_end, _, mode, _, _, _, wpos, _, _, outpos, _, _, _, _, _, _,
-     _, _, _, _, _, err, donestep) = final
+     _, _, _, _, err, donestep) = final
 
     # drain stream-refresh DMA: un-waited iff last issue was at t_end-1
     @pl.when(jnp.logical_and(t_end >= 1,
@@ -757,8 +803,8 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixf_ref,
 
 @functools.partial(jax.jit, static_argnames=("SL", "LN", "W", "T_PAD",
                                              "interpret"))
-def _run(stream, hist, fixk, fixf, SL, LN, W, T_PAD, interpret=False):
-    L = SL * LN
+def _run(stream, hist, fixk3, fixd3, fixf, SL, LN, W, T_PAD,
+         interpret=False):
     kern = functools.partial(_kernel, SL=SL, LN=LN, W=W, T_PAD=T_PAD)
     return pl.pallas_call(
         kern,
@@ -768,7 +814,8 @@ def _run(stream, hist, fixk, fixf, SL, LN, W, T_PAD, interpret=False):
                    jax.ShapeDtypeStruct((8, SL, LN), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY),
@@ -794,7 +841,7 @@ def _run(stream, hist, fixk, fixf, SL, LN, W, T_PAD, interpret=False):
             pltpu.SemaphoreType.DMA((NSEM,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(stream, hist, fixk, fixf)
+    )(stream, hist, fixk3, fixd3, fixf)
 
 
 def pack_streams(frames, SL=8, LN=128):
@@ -815,16 +862,18 @@ def pack_streams(frames, SL=8, LN=128):
     return np.ascontiguousarray(arr.T).reshape(W, SL, LN), W
 
 
-def fixed_tables():
-    fixk = np.full((NLIT, 2), -1, np.int32)
-    fixk[:, 0] = _FIXK_L
-    fixk[:NDIST, 1] = _FIXK_D
+def fixed_tables(SL=8, LN=128):
+    """Prebuilt fixed-tree tables, broadcast to (rows, SL, LN)."""
+    fixk3 = np.ascontiguousarray(np.broadcast_to(
+        _FIXK_L[:, None, None], (NLIT, SL, LN)).astype(np.int32))
+    fixd3 = np.ascontiguousarray(np.broadcast_to(
+        _FIXK_D[:, None, None], (NDIST, SL, LN)).astype(np.int32))
     fixf = np.zeros((16, 4), np.int32)
     fixf[:, 0] = _FIXF_L
     fixf[:, 1] = _FIXL_L
     fixf[:, 2] = _FIXF_D
     fixf[:, 3] = _FIXL_D
-    return fixk, fixf
+    return fixk3, fixd3, fixf
 
 
 def inflate_phase_a(frames, hists=None, SL=8, LN=128, T_PAD=None,
@@ -845,11 +894,12 @@ def inflate_phase_a(frames, hists=None, SL=8, LN=128, T_PAD=None,
     for i, h in enumerate(hists):
         hist[i // LN, i % LN] = h
     if T_PAD is None:
-        T_PAD = 34048  # worst case: 32769 literal steps + headers
+        T_PAD = 18432  # worst case: 16385 literal-pair steps + headers
     T_PAD = ((T_PAD + CHUNK - 1) // CHUNK) * CHUNK
-    fixk, fixf = fixed_tables()
+    fixk3, fixd3, fixf = fixed_tables(SL, LN)
     tok, litw, cnt = _run(jnp.asarray(stream), jnp.asarray(hist),
-                          jnp.asarray(fixk), jnp.asarray(fixf),
+                          jnp.asarray(fixk3), jnp.asarray(fixd3),
+                          jnp.asarray(fixf),
                           SL, LN, W, T_PAD, interpret)
     return (tok.reshape(T_PAD, L), litw.reshape(T_PAD, L),
             cnt.reshape(8, L))
@@ -869,6 +919,10 @@ def replay_trace(tok_col, litw_col, out_len, hist=b""):
             for i in range(n):
                 out.append((w >> (8 * i)) & 0xFF)
         elif v & TOK_MATCH:
+            nl = (v >> 25) & 3
+            w = int(litw_col[t]) & 0xFFFFFFFF
+            for i in range(nl):
+                out.append((w >> (8 * i)) & 0xFF)
             ln = (v >> 16) & 0x1FF
             dist = (v & 0x7FFF) + 1
             for _ in range(ln):

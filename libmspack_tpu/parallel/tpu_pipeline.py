@@ -106,10 +106,11 @@ class TpuMszipEngine:
         frames = [j[2] for j in batch]
         hists = [j[3] for j in batch]
         sizes = [j[4] for j in batch]
-        # worst-case steps: every output byte a literal step, plus
-        # header+wait slack per deflate block
-        t_need = max(sizes) + 1536 if sizes else 1536
-        t_pad = min(34048, ((t_need + 255) // 256) * 256)
+        # worst-case steps: literal pairs decode 2 bytes/step, plus
+        # header+wait slack per deflate block (the round-4 kernel
+        # fuses match length+distance into one step)
+        t_need = max(sizes) // 2 + 1536 if sizes else 1536
+        t_pad = min(18432, ((t_need + 255) // 256) * 256)
         tok, litw, cnt = pa.inflate_phase_a(
             frames, hists=hists, SL=SL, LN=LN, T_PAD=t_pad,
             interpret=self.interpret)

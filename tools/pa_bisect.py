@@ -8,8 +8,8 @@ import importlib.util
 import sys
 import os
 
-RET = ("        return (t + 1, mode, bitlo, bithi, navail, wpos, base, "
-       "pend, outpos, litword, litcnt, pendlen, finalf, prevlen, "
+RET = ("        return (t + 1, _alldone, mode, bitlo, bithi, navail, "
+       "wpos, base, pend, outpos, litword, litcnt, finalf, prevlen, "
        "fillpos, nlit, ndist, npre, clraw_i, stored_rem, err, donestep)\n")
 
 marker = sys.argv[1]
@@ -40,11 +40,11 @@ frame = co.compress(raw) + co.flush()
 try:
     stream, W = pa.pack_streams([frame])
     hist = np.zeros((8, 128), np.int32)
-    fixk, fixf = pa.fixed_tables()
+    fixk3, fixd3, fixf = pa.fixed_tables()
     # compile only — cut kernels deadlock at runtime (stage semaphores)
     pa._run.lower(jnp.asarray(stream), jnp.asarray(hist),
-                  jnp.asarray(fixk), jnp.asarray(fixf),
-                  8, 128, W, 256).compile()
+                  jnp.asarray(fixk3), jnp.asarray(fixd3),
+                  jnp.asarray(fixf), 8, 128, W, 256).compile()
     print(f"CUT[{marker}]: compile OK")
 except Exception as e:
     print(f"CUT[{marker}]: FAIL", str(e).split("\n")[0][:200])
