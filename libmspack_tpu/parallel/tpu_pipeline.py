@@ -22,10 +22,18 @@ LANES = SL * LN
 
 
 class TpuMszipEngine:
-    """Batched MSZIP folder decode via the Pallas entropy kernel."""
+    """Batched MSZIP folder decode via the Pallas entropy kernel.
 
-    def __init__(self, interpret: bool = False):
+    phase_b: "host" resolves traces with the native C++ resolver
+    (memcpy-speed; traces cross the device->host link), "device" runs
+    the Pallas copy machine (ops/pallas_resolve.py) so only the
+    resolved BYTES leave the device — device-resident end-to-end, at
+    the scalar copy machine's rate.
+    """
+
+    def __init__(self, interpret: bool = False, phase_b: str = "host"):
         self.interpret = interpret
+        self.phase_b = phase_b
         self._timings = {}
 
     def decode_folders(self, folders, n_threads=None):
@@ -120,6 +128,12 @@ class TpuMszipEngine:
         outb = cnth[1, :n]
         tstop = int(cnth[2, :n].max()) + 1 if n else 1
         bad_lane = (errs != 0) | (outb != np.asarray(sizes))
+        if self.phase_b == "device":
+            done = self._resolve_device(batch, folders, out, out_offsets,
+                                        failed, tok, litw, sizes,
+                                        bad_lane, tstop)
+            if done:
+                return
         # transpose device-side so lanes are contiguous rows on host
         tokT = np.ascontiguousarray(
             np.asarray(jnp.transpose(tok[:tstop])), dtype=np.int32)
@@ -156,3 +170,39 @@ class TpuMszipEngine:
         for i, fi in enumerate(fidx):
             out[out_offsets[fi]:out_offsets[fi + 1]] = \
                 arena[offs[i]:offs[i + 1]]
+
+    def _resolve_device(self, batch, folders, out, out_offsets, failed,
+                        tok, litw, sizes, bad_lane, tstop):
+        """Device phase B: the Pallas copy machine chains each folder's
+        frames across consecutive lanes; only resolved bytes leave the
+        device. Requires every mid-folder frame to fill its full
+        32 KiB slot (cabd emits full blocks except the last,
+        cabd.c:1362-1460); declines otherwise. Returns True when the
+        batch was fully handled."""
+        from ..ops import pallas_resolve as pr
+
+        n = len(batch)
+        hist_flags = [0 if batch[i][1] == 0 else 1 for i in range(n)]
+        for i in range(n):
+            last_of_folder = (i + 1 >= n or batch[i + 1][1] == 0)
+            if not last_of_folder and sizes[i] != 32768:
+                return False  # partial mid-frame: host resolve path
+        if bad_lane.any():
+            return False
+        outb, cnts = pr.resolve_frames_device(
+            tok, litw, sizes, hist_flags=hist_flags, n_steps=tstop,
+            interpret=self.interpret)
+        outh = np.asarray(outb[:n])
+        cnth = np.asarray(cnts[:n])
+        if not np.array_equal(cnth, np.asarray(sizes)):
+            return False
+        lane = 0
+        while lane < n:
+            fi = batch[lane][0]
+            cnt_f = sum(1 for j in batch if j[0] == fi)
+            pos = out_offsets[fi]
+            for i in range(lane, lane + cnt_f):
+                out[pos:pos + sizes[i]] = outh[i, :sizes[i]]
+                pos += sizes[i]
+            lane += cnt_f
+        return True
