@@ -78,6 +78,7 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
             win_ref, mainkey, lenkey, prekey, alnkey,
             limmain, firstmain, limlen, firstlen,
             limpre, firstpre, limaln, firstaln,
+            cntmain, cntlen,
             cnttmp, runtmp, stage_tok, stage_lit, mintmp, sems,
             *, SL, LN, W, T_PAD, WB, DELTA):
     i32 = jnp.int32
@@ -93,6 +94,13 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
     zero_u = jnp.zeros((SL, LN), u32)
     nz = laneid & 0
     nneg1 = nz - 1
+
+    rio_win = jax.lax.broadcasted_iota(i32, (WINR, SL, LN), 0)
+    rio_main = jax.lax.broadcasted_iota(i32, (NMAIN, SL, LN), 0)
+    rio_len = jax.lax.broadcasted_iota(i32, (NLEN, SL, LN), 0)
+    rio_pre = jax.lax.broadcasted_iota(i32, (NPRE, SL, LN), 0)
+    rio_aln = jax.lax.broadcasted_iota(i32, (NALN, SL, LN), 0)
+    rio_17 = jax.lax.broadcasted_iota(i32, (17, SL, LN), 0)
 
     def vfull(v, dt=i32):
         return jnp.full((SL, LN), v, dt)
@@ -117,16 +125,11 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
         return hi2, lo2, navail - k
 
     def sweep_fetch(off):
-        w = zero_u
-        def body(n, w):
-            return jnp.where(off == n, win_ref[n], w)
-        return jax.lax.fori_loop(0, WINR, body, w)
-
-    def gather17(tab, idx):
-        v = zero
-        def body(n, v):
-            return jnp.where(idx == n, tab[n], v)
-        return jax.lax.fori_loop(0, 17, body, v)
+        """One whole-window pass (Mosaic lowers full-table compare +
+        axis-0 reduce ~50x faster than a per-row fori sweep)."""
+        w3 = win_ref[:].astype(i32)
+        return jnp.sum(jnp.where(rio_win == off[None], w3, 0),
+                       axis=0).astype(u32)
 
     def ensure_blr(blr, n):
         """readbits.h lazy fill: while bits_left < n: inject 16."""
@@ -240,19 +243,16 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
         codelen_ok = length < 17
         length = jnp.where(length == 17, 0, length)
 
-        # ---------- symbol probes ------------------------------------
-        def probe(tab, rows, active):
-            def run(_):
-                def body(n, s):
-                    hit = jnp.logical_and(active, key == tab[n])
-                    return jnp.where(hit, n, s)
-                return jax.lax.fori_loop(0, rows, body, nneg1)
-            return jax.lax.cond(jnp.any(active), run,
-                                lambda _: nneg1, 0)
-        mainsym = probe(mainkey, NMAIN, is_body)
-        lensym = probe(lenkey, NLEN, is_len)
-        presym = probe(prekey, NPRE, is_lens | is_lens2)
-        alnsym = probe(alnkey, NALN, dist_aln)
+        # ---------- symbol probes (whole-table passes, ungated) ------
+        # a lax.cond(jnp.any(...)) gate costs ~100 us on this chip;
+        # the unconditional masked pass is row-bounded and cheap
+        def probe(tab, rio):
+            return jnp.max(jnp.where(tab[:] == key[None], rio, -1),
+                           axis=0)
+        mainsym = probe(mainkey, rio_main)
+        lensym = probe(lenkey, rio_len)
+        presym = probe(prekey, rio_pre)
+        alnsym = probe(alnkey, rio_aln)
 
         tok = vfull(TOK_NOP)
         litw_out = zero
@@ -301,6 +301,10 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
                        8) - 8, blr)
         blktype = jnp.where(is_bk, btype, blktype)
         blkrem = jnp.where(is_bk, bsize, blkrem)
+        # fresh incremental tree counts for the block's RLE streams
+        mbk3 = is_bk[None] & (rio_17 >= 0)
+        cntmain[:] = jnp.where(mbk3, zero[None], cntmain[:])
+        cntlen[:] = jnp.where(mbk3, zero[None], cntlen[:])
         bk_bad = jnp.logical_and(is_bk, (btype == 0) | (btype > 3))
         new_mode = jnp.where(is_bk & (btype == 1), X_PRT, new_mode)
         new_mode = jnp.where(is_bk & (btype == 2), X_ALN, new_mode)
@@ -318,13 +322,11 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
                 return ensure_blr(b, 3) - 3
             return jax.lax.fori_loop(0, 8, bb, b)
         blr = jnp.where(is_al, blr8(blr), blr)
-        @pl.when(jnp.any(is_al))
-        def _():
-            def wr(n, _):
-                v = (peek32 >> (u32(29) - u32(3) * u32(n))).astype(i32) & 7
-                alnkey[n] = jnp.where(is_al, v << 16, alnkey[n])
-                return 0
-            jax.lax.fori_loop(0, NALN, wr, 0)
+        # unconditional masked pass (vector-predicate gates are ~100us)
+        sh_al = (u32(29) - u32(3) * rio_aln.astype(u32))
+        v_al = (peek32[None] >> sh_al).astype(i32) & 7
+        alnkey[:] = jnp.where(is_al[None] & (rio_aln >= 0), v_al << 16,
+                              alnkey[:])
         new_mode = jnp.where(is_al, X_PRT, new_mode)
 
         # ---------- X_PRT: up to 8 pretree nibbles per step ----------
@@ -336,16 +338,11 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
                 return jnp.where(i < m, ensure_blr(b, 4) - 4, b)
             return jax.lax.fori_loop(0, 8, bb, b)
         blr = jnp.where(is_pr, blrn(blr, nnib), blr)
-        @pl.when(jnp.any(is_pr))
-        def _():
-            def wr(n, _):
-                j = n - prt_i * 8
-                inw = is_pr & (j >= 0) & (j < nnib)
-                sh = (u32(28) - u32(4) * jnp.clip(j, 0, 7).astype(u32))
-                v = (peek32 >> sh).astype(i32) & 15
-                prekey[n] = jnp.where(inw, v << 16, prekey[n])
-                return 0
-            jax.lax.fori_loop(0, NPRE, wr, 0)
+        j_pr = rio_pre - (prt_i * 8)[None]
+        inw_pr = is_pr[None] & (j_pr >= 0) & (j_pr < nnib[None])
+        sh_pr = (u32(28) - u32(4) * jnp.clip(j_pr, 0, 7).astype(u32))
+        v_pr = (peek32[None] >> sh_pr).astype(i32) & 15
+        prekey[:] = jnp.where(inw_pr, v_pr << 16, prekey[:])
         prt_i = prt_i + jnp.where(is_pr, 1, 0)
         new_mode = jnp.where(is_pr & (prt_i >= 3), X_WAITPRE, new_mode)
         # RLE fill window per part
@@ -387,46 +384,53 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
         blr = jnp.where(is_lens2 & ~l2_bad,
                         ensure_blr(blr, 16) - length, blr)
         wr2 = jnp.logical_and(is_lens2, ~l2_bad)
-        anywr = jnp.any(wr_rle | wr2)
         runw = jnp.where(wr2, runsave, run)
-        # sym-19 repeats ONE value derived from the run-start row
-        # (scalar: value = lens[pos] - sym2, same for the whole run)
-        def gfill(tab, rows, active):
-            def run_(_):
-                def body(n, sacc):
-                    return jnp.where(active & (fillpos == n),
-                                     tab[n] >> 16, sacc)
-                return jax.lax.fori_loop(0, rows, body, nz)
-            return jax.lax.cond(jnp.any(active), run_, lambda _: nz, 0)
-        old19 = (gfill(mainkey, NMAIN, wr2 & (part < 2))
-                 + gfill(lenkey, NLEN, wr2 & (part == 2)))
-        rv19 = old19 - pz
-        rv19 = jnp.where(rv19 < 0, rv19 + 17, rv19) & 0xFF
-        runval = jnp.where(wr2, rv19, runval)
-        @pl.when(anywr)
-        def _():
-            m_any = wr_rle | wr2
-            tomain = part < 2
-            def wrm(n, _):
-                inr = (m_any & tomain & (n >= fillpos)
-                       & (n < fillpos + runw))
-                oldv = mainkey[n] >> 16
-                pv = jnp.where(oldv - pz < 0, oldv - pz + 17,
-                               oldv - pz) & 0xFF
-                nv = jnp.where(wr2, runval, jnp.where(pl_lit, pv, 0))
-                mainkey[n] = jnp.where(inr, nv << 16, mainkey[n])
-                return 0
-            jax.lax.fori_loop(0, NMAIN, wrm, 0)
-            def wrl(n, _):
-                inr = (m_any & ~tomain & (n >= fillpos)
-                       & (n < fillpos + runw))
-                oldv = lenkey[n] >> 16
-                pv = jnp.where(oldv - pz < 0, oldv - pz + 17,
-                               oldv - pz) & 0xFF
-                nv = jnp.where(wr2, runval, jnp.where(pl_lit, pv, 0))
-                lenkey[n] = jnp.where(inr, nv << 16, lenkey[n])
-                return 0
-            jax.lax.fori_loop(0, NLEN, wrl, 0)
+        # every RLE op writes ONE value to its whole run: pl17/18 write
+        # zeros; pl_lit (run=1) and sym-19 runs write the delta-decoded
+        # value of the run-start row (lens[pos] - sym, mod 17)
+        m_any = wr_rle | wr2
+        tomain = part < 2
+        oldf_main = jnp.sum(jnp.where(rio_main == fillpos[None],
+                                      mainkey[:] >> 16, 0), axis=0)
+        oldf_len = jnp.sum(jnp.where(rio_len == fillpos[None],
+                                     lenkey[:] >> 16, 0), axis=0)
+        oldfill = jnp.where(tomain, oldf_main, oldf_len)
+        vw = oldfill - pz
+        vw = jnp.where(vw < 0, vw + 17, vw) & 0xFF
+        vw = jnp.where(pl_lit | wr2, vw, 0)
+        runval = jnp.where(wr2, vw, runval)
+        # ranks assigned AT WRITE TIME (RLE ops sweep rows in symbol
+        # order), so the build event never rank-scans the big tables;
+        # rank base = running count of codes at this length
+        rb_main = jnp.sum(jnp.where(rio_17 == vw[None], cntmain[:], 0),
+                          axis=0)
+        rb_len = jnp.sum(jnp.where(rio_17 == vw[None], cntlen[:], 0),
+                         axis=0)
+        def rle_write(tab, rio, msel, rb):
+            inr = (m_any & msel)[None] & (rio >= fillpos[None]) \
+                & (rio < (fillpos + runw)[None])
+            kv = jnp.where((vw > 0)[None],
+                           (vw << 16)[None]
+                           | (rb[None] + rio - fillpos[None]), 0)
+            tab[:] = jnp.where(inr, kv, tab[:])
+        rle_write(mainkey, rio_main, tomain, rb_main)
+        rle_write(lenkey, rio_len, ~tomain, rb_len)
+        # count only rows inside the table (part-2 overshoot past the
+        # 250-row length table lands in the reference's LENTABLE_SAFETY
+        # padding and is not counted by its table build)
+        bound = jnp.where(tomain, NMAIN, NLEN)
+        run_in = jnp.clip(bound - fillpos, 0, runw)
+        addn = jnp.where(m_any & (vw > 0), run_in, 0)
+        selv = rio_17 == vw[None]
+        cntmain[:] = cntmain[:] + jnp.where(
+            selv & tomain[None], addn[None], zero[None])
+        cntlen[:] = cntlen[:] + jnp.where(
+            selv & (~tomain)[None], addn[None], zero[None])
+        # a run crossing a part boundary (reference lens-array spill,
+        # overwritten by the next part) would corrupt the incremental
+        # counts — legit encoders never emit it; err -> host fallback
+        sp_bad = m_any & (part < 2) & (fillpos + runw > last)
+        new_mode, new_err = seterr(sp_bad, new_mode, new_err)
         fillpos = fillpos + jnp.where(wr_rle | wr2, runw, 0)
         new_mode = jnp.where(pl19 & ~l_bad, X_LENS2, new_mode)
         new_mode = jnp.where(wr2, X_LENS, new_mode)
@@ -694,73 +698,71 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
         bithi, bitlo, navail = consume(bithi, bitlo, navail, k)
 
         # ---------- periodic build event -----------------------------
+        # gated on the SCALAR step counter only (jnp.any() vector
+        # predicates cost a ~100us cross-lane reduce). main/len counts
+        # and ranks are maintained incrementally at RLE-write time, so
+        # the build only derives first/limit rows and rank-scans the
+        # two SMALL trees (pretree 20 rows, aligned 8).
         wait_pre = new_mode == X_WAITPRE
         wait_tr = new_mode == X_WAITTREES
-        do_build = jnp.logical_and(
-            jax.lax.rem(t, BUILD_PERIOD) == BUILD_PERIOD - 1,
-            jnp.any(jnp.logical_or(wait_pre, wait_tr)))
+        do_build = jax.lax.rem(t, BUILD_PERIOD) == BUILD_PERIOD - 1
 
-        def build_tree(keytab, rows, m, first, lim):
-            """Recompute counts+ranks from stored lens; fill
-            first/limit; returns limit16 (completeness checks)."""
-            def zc(n, _):
-                cnttmp[n] = jnp.where(m, zero, cnttmp[n])
-                runtmp[n] = jnp.where(m, zero, runtmp[n])
-                return 0
-            jax.lax.fori_loop(0, 17, zc, 0)
-            def cpass(n, _):
+        def small_tree(keytab, rows, rio, m, first, lim):
+            """Count + rank + first/limit for a small tree."""
+            lens3 = keytab[:] >> 16
+            cnttmp[:] = jnp.where(m[None] & (rio_17 >= 0), zero[None],
+                                  cnttmp[:])
+            for v in range(1, 16):
+                cv = jnp.sum(jnp.where(lens3 == v, 1, 0), axis=0)
+                cnttmp[v] = jnp.where(m, cv, cnttmp[v])
+            runtmp[:] = jnp.where(m[None] & (rio_17 >= 0), zero[None],
+                                  runtmp[:])
+            for n in range(rows):
                 lv = keytab[n] >> 16
-                ok = m & (lv >= 1) & (lv <= 16)
-                def upc(v, _):
-                    cnttmp[v] = cnttmp[v] + jnp.where(ok & (lv == v),
-                                                      vfull(1), zero)
-                    return 0
-                jax.lax.fori_loop(1, 17, upc, 0)
-                return 0
-            jax.lax.fori_loop(0, rows, cpass, 0)
+                ok = m & (lv >= 1)
+                rk = jnp.sum(jnp.where(rio_17 == lv[None], runtmp[:],
+                                       0), axis=0)
+                runtmp[:] = runtmp[:] + jnp.where(
+                    (rio_17 == lv[None]) & ok[None], vfull(1)[None],
+                    zero[None])
+                keytab[n] = jnp.where(ok, (lv << 16) | rk, keytab[n])
             first[0] = jnp.where(m, zero, first[0])
             lim[0] = jnp.where(m, zero, lim[0])
-            def fl(l, _):
+            for l in range(1, 17):
                 fv = (first[l - 1] + cnttmp[l - 1]) << 1
                 first[l] = jnp.where(m, fv, first[l])
                 lim[l] = jnp.where(m, fv + cnttmp[l], lim[l])
-                return 0
-            jax.lax.fori_loop(1, 17, fl, 0)
-            def rpass(n, _):
-                lv = keytab[n] >> 16
-                ok = m & (lv >= 1) & (lv <= 16)
-                rk = gather17(runtmp, jnp.where(ok, lv, 0))
-                keytab[n] = jnp.where(ok, (lv << 16) | rk, keytab[n])
-                def upr(v, _):
-                    runtmp[v] = runtmp[v] + jnp.where(ok & (lv == v),
-                                                      vfull(1), zero)
-                    return 0
-                jax.lax.fori_loop(1, 17, upr, 0)
-                return 0
-            jax.lax.fori_loop(0, rows, rpass, 0)
-            return lim[16]
+
+        def big_lims(cnt, m, first, lim):
+            """first/limit from incrementally-maintained counts."""
+            first[0] = jnp.where(m, zero, first[0])
+            lim[0] = jnp.where(m, zero, lim[0])
+            for l in range(1, 17):
+                fv = (first[l - 1] + cnt[l - 1]) << 1
+                first[l] = jnp.where(m, fv, first[l])
+                lim[l] = jnp.where(m, fv + cnt[l], lim[l])
 
         @pl.when(do_build)
         def _():
-            build_tree(prekey, NPRE, wait_pre, firstpre, limpre)
-            build_tree(mainkey, NMAIN, wait_tr, firstmain, limmain)
-            build_tree(lenkey, NLEN, wait_tr, firstlen, limlen)
-            build_tree(alnkey, NALN, wait_tr & (blktype == 2),
-                       firstaln, limaln)
+            small_tree(prekey, NPRE, rio_pre, wait_pre, firstpre,
+                       limpre)
+            small_tree(alnkey, NALN, rio_aln,
+                       wait_tr & (blktype == 2), firstaln, limaln)
+            big_lims(cntmain, wait_tr, firstmain, limmain)
+            big_lims(cntlen, wait_tr, firstlen, limlen)
 
         built = jnp.logical_and(do_build,
                                 jnp.logical_or(wait_pre, wait_tr))
-        def post_build(_):
-            bad_pre = wait_pre & (limpre[16] != 65536)
-            bad_main = wait_tr & (limmain[16] != 65536)
-            lemp = limlen[16] == 0
-            bad_len = wait_tr & ~lemp & (limlen[16] != 65536)
-            bad_aln = wait_tr & (blktype == 2) & (limaln[16] != 65536)
-            e8on = wait_tr & ((mainkey[0xE8] >> 16) > 0)
-            return (jnp.where(bad_pre | bad_main | bad_len | bad_aln,
-                              1, 0), jnp.where(e8on, 1, 0))
-        bad_tbl, e8flag = jax.lax.cond(
-            do_build, post_build, lambda _: (nz, nz), 0)
+        # post-build checks: static row reads, cheap enough to run
+        # unconditionally; applied only where `built`
+        bad_pre = wait_pre & (limpre[16] != 65536)
+        bad_main = wait_tr & (limmain[16] != 65536)
+        lemp = limlen[16] == 0
+        bad_len = wait_tr & ~lemp & (limlen[16] != 65536)
+        bad_aln = wait_tr & (blktype == 2) & (limaln[16] != 65536)
+        bad_tbl = jnp.where(bad_pre | bad_main | bad_len | bad_aln,
+                            1, 0)
+        e8flag = jnp.where(wait_tr & ((mainkey[0xE8] >> 16) > 0), 1, 0)
         istart = jnp.where(jnp.logical_and(built, e8flag > 0),
                            vfull(1), istart)
         new_mode = jnp.where(jnp.logical_and(built, wait_pre), X_LENS,
@@ -813,8 +815,12 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
         donestep = jnp.where(
             jnp.logical_and(donestep < 0, new_mode >= X_DONE), t,
             donestep)
-        alldone = jnp.where(jnp.all(new_mode >= X_DONE),
-                            jnp.int32(1), jnp.int32(0))
+        # cross-lane all() is expensive — poll every 16 steps
+        def poll_done(_):
+            return jnp.where(jnp.all(new_mode >= X_DONE),
+                             jnp.int32(1), jnp.int32(0))
+        alldone = jax.lax.cond(jax.lax.rem(t, 16) == 15, poll_done,
+                               lambda _: jnp.int32(0), 0)
         return (t + 1, alldone, new_mode, bithi, bitlo, navail, wpos,
                 base, pend, outpos, blr, litword, litcnt, pendlen,
                 pendslot, pendoff, blkrem, blktype, r0, r1, r2, istart,
@@ -947,6 +953,8 @@ def _run(stream, outlen, hist, SL, LN, W, T_PAD, WB, DELTA,
             pltpu.VMEM((17, SL, LN), jnp.int32),       # firstpre
             pltpu.VMEM((17, SL, LN), jnp.int32),       # limaln
             pltpu.VMEM((17, SL, LN), jnp.int32),       # firstaln
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # cntmain
+            pltpu.VMEM((17, SL, LN), jnp.int32),       # cntlen
             pltpu.VMEM((17, SL, LN), jnp.int32),       # cnttmp
             pltpu.VMEM((17, SL, LN), jnp.int32),       # runtmp
             pltpu.VMEM((2, CHUNK, SL, LN), jnp.int32),  # stage_tok
@@ -1081,6 +1089,22 @@ def bench_entry(n_lanes=256, chunk_kb=64, window_bits=16):
         _, _, c2 = lzx_phase_a(streams, out_lens, window_bits,
                                T_PAD=t_pad)
         np.asarray(c2)
+    dt_up = (time.perf_counter() - t0) / reps
+    # device-resident: inputs pre-staged, compute only
+    import jax.numpy as jnp
+    t_padr = ((t_pad + CHUNK - 1) // CHUNK) * CHUNK
+    stream, W = pack_streams(streams)
+    outlen = np.zeros((8, 128), np.int32)
+    for i, n in enumerate(out_lens):
+        outlen[i // 128, i % 128] = n
+    hist = np.zeros((8, 128), np.int32)
+    args = (jnp.asarray(stream), jnp.asarray(outlen),
+            jnp.asarray(hist))
+    np.asarray(_run(*args, 8, 128, W, t_padr, window_bits, False)[2])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(_run(*args, 8, 128, W, t_padr, window_bits,
+                        False)[2])
     dt = (time.perf_counter() - t0) / reps
     total = sum(out_lens)
     return {
@@ -1090,6 +1114,7 @@ def bench_entry(n_lanes=256, chunk_kb=64, window_bits=16):
         "bytes_out": total,
         "ms": round(dt * 1e3, 1),
         "mb_per_s": round(total / dt / 1e6, 1),
+        "mb_per_s_with_upload": round(total / dt_up / 1e6, 1),
         "errors": errs, "out_ok": ok, "sampled_bit_exact": bool(exact),
         "max_steps": int(cnth[2].max()),
     }
