@@ -210,6 +210,7 @@ class CabDecompressor:
         self.engine = resolve_engine(engine)
         self._scratch_out = None   # warm decode arena (native.Scratch)
         self._tpu_engine = None    # lazy TpuMszipEngine (engine="tpu")
+        self._tpu_lzx_engine = None  # lazy TpuLzxEngine (engine="tpu")
         self._scratch_in = None    # warm staging arena
         self._img_cache = None     # (Cabinet, np image view)
         self._d: Optional[_DecompState] = None
@@ -659,6 +660,21 @@ class CabDecompressor:
                         sink.close()
 
         if (self.engine == "tpu" and not self.salvage
+                and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_LZX):
+            folder_bytes = self._folder_bytes_lzx_tpu(fol)
+            if folder_bytes is not None:
+                sink = output if isinstance(output, Sink) else FileSink(output)
+                try:
+                    if file.offset + filelen > len(folder_bytes):
+                        raise DecrunchError("file beyond decoded folder")
+                    sink.write(folder_bytes[file.offset :
+                                            file.offset + filelen])
+                    return
+                finally:
+                    if sink is not output and hasattr(sink, "close"):
+                        sink.close()
+
+        if (self.engine == "tpu" and not self.salvage
                 and not self.fix_mszip
                 and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_MSZIP):
             folder_bytes = self._folder_bytes_tpu(fol)
@@ -876,6 +892,42 @@ class CabDecompressor:
             return None
         self._folder_cache = (fol, out)
         return out
+
+    def _folder_bytes_lzx_tpu(self, fol: CabFolder) -> bytes | None:
+        """Whole-folder LZX decode via the Pallas lane kernel
+        (ops/pallas_lzx.py phase A on device + native trace resolve
+        with E8). CAB LZX never resets (cabd.c:1249-1250), so the
+        folder is one fresh stream on one lane; folders above the
+        per-lane trace budget fall back to the native engine (lane
+        parallelism comes from many folders / CHM reset chunks)."""
+        if self._folder_cache is not None and self._folder_cache[0] is fol:
+            return self._folder_cache[1]
+        try:
+            from ..parallel.tpu_pipeline import (LZX_TPU_MAX_CHUNK,
+                                                 TpuLzxEngine)
+        except Exception:
+            return None
+        collected = self.collect_raw_blocks(fol)
+        if collected is None:
+            return None
+        blocks, sizes = collected
+        total = sum(sizes)
+        if total > LZX_TPU_MAX_CHUNK:
+            return None
+        try:
+            if self._tpu_lzx_engine is None:
+                import jax
+                self._tpu_lzx_engine = TpuLzxEngine(
+                    interpret=jax.default_backend() == "cpu")
+            outs = self._tpu_lzx_engine.decode_streams(
+                [b"".join(blocks)], [total],
+                (fol.comp_type >> 8) & 0x1F)
+        except Exception:
+            return None
+        if outs is None or outs[0] is None:
+            return None
+        self._folder_cache = (fol, outs[0])
+        return outs[0]
 
     def _folder_bytes_lzx_device(self, fol: CabFolder) -> bytes | None:
         """Whole-folder LZX decode on device (ops/lzx_jax). CAB LZX

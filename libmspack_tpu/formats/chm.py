@@ -188,6 +188,7 @@ class ChmDecompressor:
         self._scratch_out = None   # warm decode arena (native.Scratch)
         self._d: Optional[_DecompState] = None
         self._sec1_cache: tuple | None = None  # (chm, bytes)
+        self._tpu_lzx_engine = None  # lazy TpuLzxEngine (engine="tpu")
         self.last_error = 0
 
     # -- open ------------------------------------------------------------
@@ -540,9 +541,15 @@ class ChmDecompressor:
 
     def _extract_sec1(self, d: _DecompState, file: ChmFile, sink) -> None:
         chm = d.chm
-        if self.engine in ("native", "jax"):
-            blob = (self._sec1_bytes_native(d) if self.engine == "native"
-                    else self._sec1_bytes_device(d))
+        if self.engine in ("native", "jax", "tpu"):
+            if self.engine == "native":
+                blob = self._sec1_bytes_native(d)
+            elif self.engine == "jax":
+                blob = self._sec1_bytes_device(d)
+            else:
+                blob = self._sec1_bytes_tpu(d)
+                if blob is None:
+                    blob = self._sec1_bytes_native(d)
             if blob is not None:
                 if file.offset + file.length > len(blob):
                     raise DecrunchError("file beyond decoded section")
@@ -660,6 +667,56 @@ class ChmDecompressor:
             self._sec1_cache = (chm, out)
             return out
         except MSPackError:
+            return None
+
+    def _sec1_bytes_tpu(self, d: _DecompState) -> bytes | None:
+        """Whole-section decode via the Pallas LZX lane kernel: the
+        ResetTable offsets shard the stream into independent
+        reset-interval chunks, each a fresh LZX stream batched onto a
+        device lane (phase A on TPU, native trace resolve + E8).
+        Falls back (None) when the plan or lane budget declines."""
+        chm = d.chm
+        if self._sec1_cache is not None and self._sec1_cache[0] is chm:
+            return self._sec1_cache[1]
+        try:
+            import jax
+
+            from ..parallel.tpu_pipeline import (LZX_TPU_MAX_CHUNK,
+                                                 TpuLzxEngine)
+            plan = self._sec1_plan(d)
+            if plan is None:
+                return None
+            stream, window_bits, reset_interval, reset_offsets, length = plan
+            if reset_interval > LZX_TPU_MAX_CHUNK:
+                return None
+            if not reset_offsets:
+                if length > reset_interval:
+                    return None
+                reset_offsets = [0]
+            chunks, sizes = [], []
+            for i, off in enumerate(reset_offsets):
+                end = (reset_offsets[i + 1]
+                       if i + 1 < len(reset_offsets) else len(stream))
+                size = min(reset_interval, length - i * reset_interval)
+                if size <= 0:
+                    break
+                chunks.append(stream[off:end])
+                sizes.append(size)
+            if self._tpu_lzx_engine is None:
+                self._tpu_lzx_engine = TpuLzxEngine(
+                    interpret=jax.default_backend() == "cpu")
+            outs = self._tpu_lzx_engine.decode_streams(
+                chunks, sizes, window_bits)
+            if outs is None or any(o is None for o in outs):
+                return None
+            out = b"".join(outs)
+            if len(out) != length:
+                return None
+            self._sec1_cache = (chm, out)
+            return out
+        except MSPackError:
+            return None
+        except Exception:
             return None
 
     def _sec1_bytes_native(self, d: _DecompState) -> bytes | None:

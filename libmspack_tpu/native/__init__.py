@@ -61,6 +61,8 @@ def lib():
         _lib.msp_qtm_encode.restype = ctypes.c_int64
         _lib.msp_resolve_trace.restype = ctypes.c_int
         _lib.msp_resolve_traces.restype = ctypes.c_int
+        _lib.msp_lzx_resolve_trace.restype = ctypes.c_int
+        _lib.msp_lzx_resolve_traces.restype = ctypes.c_int
     return _lib
 
 
@@ -436,6 +438,39 @@ def qtm_encode(data: bytes, window_bits: int,
     if r < 0:
         return None
     return [out[offs[i] : offs[i + 1]].tobytes() for i in range(int(r))]
+
+
+def lzx_resolve_traces(tok, litw, out_lens: list[int],
+                       iflags: list[int], ifszs: list[int],
+                       window_bits: int, out, out_offsets: list[int],
+                       n_threads: int | None = None) -> int:
+    """Phase B for the LZX TPU entropy kernel: resolve per-lane token
+    traces (ops/pallas_lzx.py format) into bytes + E8 untransform.
+
+    tok/litw: contiguous (n_lanes, T) int32 arrays (device trace
+    transposed). Each lane is an independent stream (CAB folder / CHM
+    reset chunk); distances may reach into a 2^window_bits zero
+    prefix. iflags/ifszs: per-lane intel-E8 header flag and filesize
+    (kernel counts rows 4/5). Returns 0 on success.
+    """
+    import numpy as np
+    L = lib()
+    n = len(out_lens)
+    ol = (ctypes.c_uint32 * n)(*out_lens)
+    ifl = (ctypes.c_int32 * n)(*iflags)
+    ifs = (ctypes.c_int32 * n)(*ifszs)
+    ooff = (ctypes.c_int64 * (n + 1))(*out_offsets)
+    assert tok.dtype == np.int32 and tok.flags.c_contiguous
+    assert litw.dtype == np.int32 and litw.flags.c_contiguous
+    assert litw.shape == tok.shape
+    return L.msp_lzx_resolve_traces(
+        tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        litw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(tok.shape[1]), ctypes.c_int64(tok.shape[1]),
+        ol, ifl, ifs, ctypes.c_int(n),
+        ctypes.c_uint32(1 << window_bits),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ooff,
+        ctypes.c_int(n_threads or default_threads()))
 
 
 def qtm_decode(stream: bytes, window_bits: int, out_len: int) -> bytes | None:

@@ -2335,6 +2335,134 @@ int msp_resolve_traces(const int32_t* tok, const int32_t* litw, int64_t T,
   return err.load();
 }
 
+// E8 call-translation untransform on one frame (reference
+// lzxd.c:706-733 / codecs/lzx.py:_e8_transform): scan for 0xE8, fix
+// up absolute call targets back to relative, skipping the last 10
+// bytes of the frame.
+static void msp_e8_untransform(uint8_t* d, uint32_t fs, int32_t curpos,
+                               int32_t filesize) {
+  if (fs <= 10) return;
+  uint32_t pos = 0, end = fs - 10;
+  while (pos < end) {
+    if (d[pos] != 0xE8) {
+      pos++;
+      curpos++;
+      continue;
+    }
+    pos++;
+    int32_t abs_off = (int32_t)((uint32_t)d[pos] | ((uint32_t)d[pos + 1] << 8)
+                                | ((uint32_t)d[pos + 2] << 16)
+                                | ((uint32_t)d[pos + 3] << 24));
+    if (abs_off >= -curpos && abs_off < filesize) {
+      uint32_t rel = (uint32_t)(abs_off >= 0 ? abs_off - curpos
+                                             : abs_off + filesize);
+      d[pos] = (uint8_t)rel;
+      d[pos + 1] = (uint8_t)(rel >> 8);
+      d[pos + 2] = (uint8_t)(rel >> 16);
+      d[pos + 3] = (uint8_t)(rel >> 24);
+    }
+    pos += 4;
+    curpos += 5;
+  }
+}
+
+// Resolve one LZX lane trace (ops/pallas_lzx.py format: -1 NOP,
+// 0x20000000|n literal pack from the litw plane,
+// 0x40000000|len match with litw = linear distance; distances may
+// reach into a wsize-byte zero prefix) into out_len bytes, then apply
+// the E8 untransform per 32 KiB frame when the intel header fired.
+// work must hold wsize + out_len bytes.
+int msp_lzx_resolve_trace(const int32_t* tok, const int32_t* litw,
+                          int64_t T, int64_t lane_stride, int lane,
+                          uint64_t out_len, uint32_t wsize, int iflag,
+                          int32_t ifsz, uint8_t* out, uint8_t* work) {
+  const int32_t* tr = tok + (int64_t)lane * lane_stride;
+  const int32_t* lw = litw + (int64_t)lane * lane_stride;
+  memset(work, 0, wsize);
+  uint64_t pos = wsize, target = wsize + out_len;
+  for (int64_t t = 0; t < T && pos < target; t++) {
+    int32_t v = tr[t];
+    if (v < 0) continue;
+    if (v & 0x20000000) {
+      uint32_t n = (uint32_t)(v & 7);
+      uint32_t w = (uint32_t)lw[t];
+      if (pos + n > target) return 22;
+      for (uint32_t i = 0; i < n; i++) {
+        work[pos++] = (uint8_t)(w >> (8 * i));
+      }
+    } else if (v & 0x40000000) {
+      uint32_t l = (uint32_t)v & 0xFFFFF;
+      uint64_t d = (uint64_t)(uint32_t)lw[t];
+      if (d == 0 || d > pos || pos + l > target) return 21;
+      const uint8_t* src = work + pos - d;
+      uint8_t* dst = work + pos;
+      if (d >= l) {
+        memcpy(dst, src, l);
+      } else {
+        for (uint32_t i = 0; i < l; i++) dst[i] = src[i];
+      }
+      pos += l;
+    }
+  }
+  if (pos != target) return 23;
+  if (iflag && ifsz != 0) {
+    uint64_t off = 0;
+    uint32_t frame = 0;
+    while (off < out_len && frame < 32768) {
+      uint32_t fs = out_len - off > 32768 ? 32768
+                                          : (uint32_t)(out_len - off);
+      msp_e8_untransform(work + wsize + off, fs, (int32_t)off, ifsz);
+      off += fs;
+      frame++;
+    }
+  }
+  memcpy(out, work + wsize, out_len);
+  return 0;
+}
+
+// Batch variant: lanes are independent streams (CAB folders / CHM
+// reset-interval chunks), resolved across a thread pool.
+int msp_lzx_resolve_traces(const int32_t* tok, const int32_t* litw,
+                           int64_t T, int64_t lane_stride,
+                           const uint32_t* out_lens,
+                           const int32_t* iflags, const int32_t* ifszs,
+                           int n_lanes, uint32_t wsize, uint8_t* out,
+                           const int64_t* out_offsets, int n_threads) {
+  uint64_t max_out = 0;
+  for (int i = 0; i < n_lanes; i++) {
+    if (out_lens[i] > max_out) max_out = out_lens[i];
+  }
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+  auto worker = [&]() {
+    std::vector<uint8_t> work(wsize + max_out);
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n_lanes) break;
+      if ((uint64_t)(out_offsets[i + 1] - out_offsets[i])
+          < out_lens[i]) {
+        err.store(20);
+        continue;
+      }
+      int r = msp_lzx_resolve_trace(tok, litw, T, lane_stride, i,
+                                    out_lens[i], wsize, iflags[i],
+                                    ifszs[i], out + out_offsets[i],
+                                    work.data());
+      if (r) err.store(r);
+    }
+  };
+  int nt = n_threads < 1 ? 1 : n_threads;
+  if (nt > n_lanes) nt = n_lanes;
+  if (nt <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nt; t++) ths.emplace_back(worker);
+    for (auto& t : ths) t.join();
+  }
+  return err.load();
+}
+
 // LZSS one-shot decode (SZDD/KWAJ/HLP variants), mode as in lzss.py.
 int64_t msp_lzss(const uint8_t* in, uint64_t in_len, int mode, uint8_t* out,
                  uint64_t out_cap) {

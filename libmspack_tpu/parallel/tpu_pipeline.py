@@ -20,6 +20,12 @@ import numpy as np
 SL, LN = 8, 128
 LANES = SL * LN
 
+# per-lane single-launch output budget for the LZX kernel: the
+# (step, lane) trace is T_PAD x LANES x 8 bytes, and a lane decodes
+# one stream — larger streams go to the native engine (or, later,
+# segment across launches via kernel state export)
+LZX_TPU_MAX_CHUNK = 128 * 1024
+
 
 class TpuMszipEngine:
     """Batched MSZIP folder decode via the Pallas entropy kernel.
@@ -205,4 +211,90 @@ class TpuMszipEngine:
                 out[pos:pos + sizes[i]] = outh[i, :sizes[i]]
                 pos += sizes[i]
             lane += cnt_f
+        return True
+
+
+class TpuLzxEngine:
+    """Batched LZX stream decode via the Pallas lane kernel.
+
+    Each job is an independent fresh-entropy-state LZX stream — a CAB
+    folder within the per-lane budget (CAB LZX never resets,
+    cabd.c:1249-1250, so a folder is one stream), a CHM reset-interval
+    chunk (chmd.c:1172-1183 re-inits at reset points), or an OAB block.
+    Streams batch onto device lanes; phase A (ops/pallas_lzx.py) emits
+    token traces on the TPU; the native C++ resolver
+    (msp_lzx_resolve_traces) turns them into bytes, including the E8
+    call-translation untransform (lzxd.c:706-733).
+    """
+
+    def __init__(self, interpret: bool = False):
+        self.interpret = interpret
+        self.n_decoded = 0   # streams decoded via the kernel path
+        self._timings = {}
+
+    def decode_streams(self, streams, out_lens, window_bits,
+                       n_threads=None):
+        """streams: list of bytes; out_lens: decompressed sizes.
+        Returns list of per-stream bytes, or None to fall back."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .. import native
+        from ..ops import pallas_lzx as plx
+
+        if not streams:
+            return []
+        if not native.available():
+            return None
+        if max(out_lens) > LZX_TPU_MAX_CHUNK:
+            return None
+        outs = [None] * len(streams)
+        order = list(range(len(streams)))
+        for b0 in range(0, len(order), LANES):
+            idxs = order[b0:b0 + LANES]
+            if not self._run_batch([streams[i] for i in idxs],
+                                   [out_lens[i] for i in idxs],
+                                   window_bits, idxs, outs, n_threads):
+                return None
+        return outs
+
+    def _run_batch(self, streams, sizes, window_bits, idxs, outs,
+                   n_threads):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .. import native
+        from ..ops import pallas_lzx as plx
+
+        # literal-heavy streams need ~1 step/byte; typical streams
+        # ~0.2 — overruns flag errv=2 and the caller falls back
+        t_pad = max(sizes) // 2 + 4096
+        tok, litw, cnt = plx.lzx_phase_a(
+            streams, sizes, window_bits, T_PAD=t_pad,
+            interpret=self.interpret)
+        cnth = np.asarray(cnt)
+        n = len(streams)
+        if (cnth[0, :n] != 0).any():
+            return False
+        if not np.array_equal(cnth[1, :n], np.asarray(sizes)):
+            return False
+        tstop = int(cnth[2, :n].max()) + 1
+        tokT = np.ascontiguousarray(
+            np.asarray(jnp.transpose(tok[:tstop])), dtype=np.int32)[:n]
+        litT = np.ascontiguousarray(
+            np.asarray(jnp.transpose(litw[:tstop])), dtype=np.int32)[:n]
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        arena = np.empty(offs[-1], np.uint8)
+        iflags = [int(cnth[4, i]) for i in range(n)]
+        ifszs = [int(cnth[5, i]) for i in range(n)]
+        r = native.lzx_resolve_traces(tokT, litT, sizes, iflags, ifszs,
+                                      window_bits, arena, offs,
+                                      n_threads)
+        if r != 0:
+            return False
+        for j, i in enumerate(idxs):
+            outs[i] = arena[offs[j]:offs[j + 1]].tobytes()
+        self.n_decoded += len(idxs)
         return True

@@ -160,3 +160,54 @@ def test_mesh_cab_decode():
     m = pmesh.default_mesh()
     out = pmesh.decode_cab_sharded(m, cabb)
     assert out == {"a.bin": blob, "b.bin": blob[::-1], "c.bin": raw}
+
+
+def test_cab_lzx_engine_tpu_bit_exact():
+    """CabDecompressor(engine='tpu') routes LZX folders through the
+    Pallas lane kernel (interpret on CPU) + native trace resolve."""
+    import hashlib
+
+    import libmspack_tpu as m
+    from libmspack_tpu import native
+    from libmspack_tpu.system import HashSink
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    import oracle
+    p = ("/root/reference/libmspack/test/test_files/cabd/"
+         "mszip_lzx_qtm.cab")
+    rc, blobs = oracle.cab_extract_all(p)
+    assert rc == 0
+    d = m.create_cab_decompressor(engine="tpu")
+    cab = d.open(p)
+    for f, blob in zip(cab.files, blobs):
+        s = HashSink()
+        d.extract(f, s)
+        assert hashlib.md5(blob).hexdigest() == s.hexdigest(), f.filename
+
+
+def test_chm_engine_tpu_reset_chunks():
+    """ChmDecompressor(engine='tpu') batches ResetTable chunks onto
+    kernel lanes; bit-exact vs the authored content."""
+    import random
+
+    import libmspack_tpu as m
+    from libmspack_tpu import native
+    from libmspack_tpu.compress import chm_c
+    from libmspack_tpu.system import BytesSink
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = random.Random(9)
+    words = [bytes(rng.choices(b"abcdef the of and <p>",
+                               k=rng.randint(3, 11))) for _ in range(50)]
+    big = b"".join(rng.choice(words) for _ in range(40_000))[:120_000]
+    chm = chm_c.write_chm([("big.html", big)], window_bits=16,
+                          reset_frames=1)
+    d = m.create_chm_decompressor(engine="tpu")
+    h = d.open(chm)
+    f = [x for x in h.files if x.filename.endswith("big.html")][0]
+    s = BytesSink()
+    d.extract(f, s)
+    assert s.getvalue() == big
+    # the kernel path actually ran (not the native fallback)
+    assert d._tpu_lzx_engine is not None
+    assert d._tpu_lzx_engine.n_decoded >= 4  # 120 KB / 32 KiB chunks
