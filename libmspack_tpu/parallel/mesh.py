@@ -136,44 +136,74 @@ def decode_frames_sharded(mesh: Mesh, frames: list[bytes],
 H_WIN = 32768  # MSZIP window: the only cross-frame state
 
 
-def _phase_b_hist(t_kind, t_outlen, t_dist, t_lit, frame_base, hist, N):
-    """ops.inflate_jax._phase_b with a H_WIN-byte history prefix.
+def _expand_mszip_tokens(tok, litw, flen, N):
+    """(T, L) pallas_inflate traces -> per-byte (ptr, litv) over a
+    length-N space whose first H_WIN positions are the ring window.
 
-    Positions [0, H_WIN) of the output are `hist` (the window handed
-    over from the previous shard); frame_base is already offset by
-    +H_WIN. Matches may reach into the history."""
-    B, R = t_kind.shape
+    Every output byte gets a back-pointer: literals point at
+    themselves (litv holds the value), match bytes point dist back.
+    Tokens are the round-4 kernel format: 0x20000000|n packed
+    literals, 0x40000000|nl<<25|len<<16|(dist-1) with nl carried
+    literals."""
+    T, L = tok.shape
     H = H_WIN
-    live = (t_kind == 0) | (t_kind == 1)
-    tlen = jnp.where(live, t_outlen, 0)
+    v = jnp.transpose(tok)            # (L, T)
+    w = jnp.transpose(litw)
+    live = v >= 0
+    is_lit = live & ((v >> 29) & 1).astype(bool)
+    is_mt = live & ((v >> 30) & 1).astype(bool)
+    nlit = jnp.where(is_lit, v & 7, jnp.where(is_mt, (v >> 25) & 3, 0))
+    mlen = jnp.where(is_mt, (v >> 16) & 0x1FF, 0)
+    tlen = nlit + mlen
     within = jnp.cumsum(tlen, axis=1) - tlen
-    out_start = (frame_base[:, None] + within).reshape(-1)
-    flat_len = tlen.reshape(-1)
+    base = H + jnp.cumsum(flen) - flen          # (L,)
+    out_start = (base[:, None] + within).reshape(-1)
+    tlen_f = tlen.reshape(-1)
+    v_f = v.reshape(-1)
+    w_f = w.reshape(-1)
+    nlit_f = nlit.reshape(-1)
 
-    T = B * R
+    LT = L * T
     marks = jnp.zeros(N + 1, jnp.int32).at[
-        jnp.where(flat_len > 0, jnp.clip(out_start, 0, N), N)].max(
-        jnp.arange(T, dtype=jnp.int32) + 1)
-    tok_id = jnp.clip(jax.lax.cummax(marks[:N]) - 1, 0, T - 1)
+        jnp.where(tlen_f > 0, jnp.clip(out_start, 0, N), N)].max(
+        jnp.arange(LT, dtype=jnp.int32) + 1)
+    tok_id = jnp.clip(jax.lax.cummax(marks[:N]) - 1, 0, LT - 1)
 
-    bpos = jnp.arange(N, dtype=jnp.int32)
-    k = jnp.take(t_kind.reshape(-1), tok_id)
-    d = jnp.take(t_dist.reshape(-1), tok_id)
-    l = jnp.take(t_lit.reshape(-1), tok_id)
-    ptr = jnp.where(bpos < H, bpos,
-                    jnp.where(k == 0, bpos, bpos - d))
+    pos = jnp.arange(N, dtype=jnp.int32)
+    st = jnp.take(out_start, tok_id)
+    vv = jnp.take(v_f, tok_id)
+    ww = jnp.take(w_f, tok_id)
+    nl = jnp.take(nlit_f, tok_id)
+    dist = (vv & 0x7FFF) + 1
+    b_off = pos - st
+    lit_byte = b_off < nl
+    litval = (ww >> (8 * jnp.clip(b_off, 0, 3))) & 0xFF
+    ptr = jnp.where(pos < H, pos,
+                    jnp.where(lit_byte, pos, pos - dist))
+    litv = jnp.where((pos >= H) & lit_byte, litval, 0)
+    return ptr, litv
 
+
+def _point_roots(ptr, N):
+    """Pointer-double to fixed points (literals / window positions).
+
+    This is the expensive phase-B step and runs ONCE per shard —
+    the ring then only substitutes window values through the root
+    indirection (per-device work independent of ndev)."""
     rounds = max(1, N - 1).bit_length()
 
-    def round_(_, pp):
-        return jnp.where(pp >= 0, jnp.take(pp, jnp.clip(pp, 0, N - 1)),
-                         pp)
+    def rd(_, p):
+        return jnp.where(p >= 0, jnp.take(p, jnp.clip(p, 0, N - 1)), p)
 
-    root = jax.lax.fori_loop(0, rounds, round_, ptr)
-    histv = jnp.take(hist, jnp.clip(root, 0, H - 1))
-    out = jnp.where(root < H, histv, jnp.take(l, jnp.clip(root, 0, N - 1)))
-    bad_src = jnp.any(root < 0)
-    return out, bad_src
+    return jax.lax.fori_loop(0, rounds, rd, ptr)
+
+
+class NeedFallback(Exception):
+    pass
+
+
+def _tpu_interpret() -> bool:
+    return jax.default_backend() == "cpu"
 
 
 def decode_frames_ring(mesh: Mesh, frames: list[bytes],
@@ -181,54 +211,79 @@ def decode_frames_ring(mesh: Mesh, frames: list[bytes],
                        ) -> bytes | None:
     """Sharded MSZIP folder decode with ring phase B.
 
-    Phase A is dp-sharded (no communication). Phase B runs as an
-    ndev-step ring: at step k shard k resolves its frames against the
-    32 KiB window ppermute'd from shard k-1, then hands its own output
-    tail onward — ndev * 32 KiB on the wire instead of an all-gather
-    of the full token grid. Bit-exact vs the scalar codec; returns
-    None for fallback cases (multi-block/stored frames)."""
-    from ..ops import inflate_jax as ij
+    Phase A is the PRODUCT Pallas lane kernel (ops/pallas_inflate.py),
+    dp-sharded with no communication — compiled on real TPUs,
+    interpreter mode on the virtual CPU mesh — so multi-block and
+    stored frames ride the ring like any others (round 3 declined
+    them). Phase B pointer-doubles every shard's byte back-pointers to
+    their fixed points ONCE, in parallel; the ndev-step ring then only
+    substitutes window values through the root indirection and hands
+    the 32 KiB output tail onward via ppermute — per-device work no
+    longer scales with ndev (round 3 re-ran the full resolve each
+    step). Bit-exact vs the scalar codec; None = fall back."""
+    from ..ops import pallas_inflate as pa
 
     if not frames:
         return b""
     try:
         ndev = mesh.devices.size
         nominal = len(frames)
-        # next power of two (recompile granularity), ndev-divisible
-        B = max(ndev, 1 << max(0, nominal - 1).bit_length())
-        B = ((B + ndev - 1) // ndev) * ndev
-        frames = list(frames) + [ij._EMPTY_STREAM] * (B - nominal)
-        S = ij._bucket(max(len(f) for f in frames) + 8, ij.S_BUCKETS)
+        if expected_sizes is not None and \
+                any(s > 32768 for s in expected_sizes):
+            raise NeedFallback("frame larger than the MSZIP window")
+        Bl = (nominal + ndev - 1) // ndev      # frames per shard
+        if Bl > 1024:
+            raise NeedFallback("folder larger than the lane grid")
+        B = Bl * ndev
+        frames = list(frames) + [b""] * (B - nominal)
 
-        data = np.zeros((B, S), np.uint8)
-        luts_l = np.zeros((B, 1 << 15), np.int32)
-        luts_d = np.zeros((B, 1 << 15), np.int32)
-        starts = np.zeros(B, np.int32)
-        for i, f in enumerate(frames):
-            data[i, : len(f)] = np.frombuffer(f, np.uint8)
-            last, kind, *rest = ij._parse_block_header(f, 0)
-            if kind != "huff" or not last:
-                raise ij.NeedFallback("multi-block/stored frame")
-            luts_l[i], luts_d[i], starts[i] = rest
+        # pack each shard's frames into its own (W, SL, LN) word grid
+        packs = [pa.pack_streams(frames[d * Bl:(d + 1) * Bl])
+                 for d in range(ndev)]
+        W = max(p[1] for p in packs)
+        stream = np.zeros((ndev, W, 8, 128), np.uint32)
+        for d, (arr, wd) in enumerate(packs):
+            stream[d, :wd] = arr
+        hist = np.zeros((ndev, 8, 128), np.int32)
+        for g in range(1, B):
+            hist[g // Bl, (g % Bl) // 128, (g % Bl) % 128] = 32768
+        # ndev-padding lanes hold empty streams, which the kernel
+        # flags as corrupt — mask them out of the error check
+        valid = np.zeros((ndev, 1024), np.int32)
+        for g in range(nominal):
+            valid[g // Bl, g % Bl] = 1
+        maxsz = (max(expected_sizes) if expected_sizes
+                 else 32768)
+        t_pad = min(18432, ((maxsz // 2 + 1536 + 255) // 256) * 256)
+        fixk3, fixd3, fixf = pa.fixed_tables()
+        ck, cd, cf = (jnp.asarray(fixk3), jnp.asarray(fixd3),
+                      jnp.asarray(fixf))
+        interp = _tpu_interpret()
+        N_loc = Bl * 32768 + H_WIN
 
-        Bl = B // ndev                   # frames per shard
-        N_loc = Bl * 32768 + H_WIN       # local resolve buffer
-        R = ij.MAX_TOKENS
-
-        def local(data, starts, lit, dist):
-            (t_kind, t_outlen, t_dist, t_lit, end_pos, chain_inv,
-             reached) = ij._phase_a(data, starts, lit, dist,
-                                    S * 8, R, S)
-            live = (t_kind == 0) | (t_kind == 1)
-            flen = jnp.sum(jnp.where(live, t_outlen, 0), axis=1)
-            base = H_WIN + jnp.cumsum(flen) - flen
+        def local(stream, hist, vmask):
+            tok, litw, cnt = pa._run(stream[0], hist[0], ck, cd, cf,
+                                     8, 128, W, t_pad, interp)
+            T = t_pad
+            tok = tok.reshape(T, 1024)[:, :Bl]
+            litw = litw.reshape(T, 1024)[:, :Bl]
+            cnt = cnt.reshape(8, 1024)
+            vm = vmask[0, :Bl]
+            errs = jnp.where(vm > 0, cnt[0, :Bl], 0)
+            flen = jnp.where(vm > 0, cnt[1, :Bl], 0)
+            tok = jnp.where(vm[None, :] > 0, tok, -1)
+            ptr, litv = _expand_mszip_tokens(tok, litw, flen, N_loc)
+            roots = _point_roots(ptr, N_loc)
+            litr = jnp.take(litv, jnp.clip(roots, 0, N_loc - 1))
+            inv = jnp.logical_or(jnp.any(errs != 0),
+                                 jnp.any(roots < 0))
+            tot = H_WIN + jnp.sum(flen)
             my = jax.lax.axis_index("dp")
 
             def ring_step(kdev, carry):
                 win, res, restot = carry
-                out, bad = _phase_b_hist(t_kind, t_outlen, t_dist,
-                                         t_lit, base, win, N_loc)
-                tot = H_WIN + jnp.sum(flen)
+                histv = jnp.take(win, jnp.clip(roots, 0, H_WIN - 1))
+                out = jnp.where(roots < H_WIN, histv, litr)
                 tail = jax.lax.dynamic_slice(
                     out, (jnp.maximum(tot - H_WIN, 0),), (H_WIN,))
                 mine = kdev == my
@@ -246,39 +301,174 @@ def decode_frames_ring(mesh: Mesh, frames: list[bytes],
                 0, ndev, ring_step,
                 (win0, vary(jnp.zeros(N_loc, jnp.int32)),
                  vary(jnp.int32(0))))
-            inv = jnp.logical_or(jnp.any(chain_inv),
-                                 jnp.logical_not(jnp.all(reached)))
-            return (res[H_WIN:][None], restot[None], flen,
-                    inv[None])
+            return (res[H_WIN:][None], restot[None], flen, inv[None])
 
+        # check_vma=False: the pallas_call inside has no vma annotation
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(P("dp"), P("dp"), P("dp", None), P("dp", None)),
-            out_specs=(P("dp", None), P("dp"), P("dp"), P("dp")))
-        res, restot, flen, inv = jax.jit(fn)(
-            jnp.asarray(data.reshape(-1)), jnp.asarray(starts),
-            jnp.asarray(luts_l), jnp.asarray(luts_d))
+            in_specs=(P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp", None), P("dp"), P("dp"), P("dp")),
+            check_vma=False)
+        res, restot, flen, inv = jax.jit(
+            fn, static_argnums=())(jnp.asarray(stream),
+                                   jnp.asarray(hist),
+                                   jnp.asarray(valid))
         if bool(jnp.any(inv)):
-            raise ij.NeedFallback("invalid chain")
+            raise NeedFallback("kernel error / invalid chain")
         flen_np = np.asarray(flen)
         if expected_sizes is not None:
             exp = np.asarray(list(expected_sizes)
                              + [0] * (B - nominal), np.int64)
             if not np.array_equal(flen_np, exp):
-                raise ij.NeedFallback("frame length mismatch")
-        res_np = np.asarray(res, np.uint8)
+                raise NeedFallback("frame length mismatch")
+        res_np = np.asarray(res)
         restot_np = np.asarray(restot)
-        parts = [res_np[d, :restot_np[d]].tobytes()
+        parts = [res_np[d, :restot_np[d]].astype(np.uint8).tobytes()
                  for d in range(ndev)]
         return b"".join(parts)
-    except ij.NeedFallback:
+    except NeedFallback:
+        return None
+
+
+LZX_MESH_CAP = 128 * 1024   # per-lane LZX output budget on the mesh
+
+
+def decode_lzx_streams_sharded(mesh: Mesh, streams: list[bytes],
+                               sizes: list[int], window_bits: int
+                               ) -> list[bytes] | None:
+    """Independent LZX streams (CAB folders / CHM reset chunks)
+    dp-sharded over the mesh: each device runs the product Pallas LZX
+    kernel (interpreted on the virtual CPU mesh) on its lanes, then a
+    local pointer-doubling resolve — no communication at all (the
+    streams share no state; this is the folder-DP axis).
+    E8 untransform applies host-side per stream when flagged."""
+    from ..ops import pallas_lzx as plx
+
+    if not streams:
+        return []
+    try:
+        ndev = mesh.devices.size
+        nominal = len(streams)
+        if max(sizes) > LZX_MESH_CAP:
+            raise NeedFallback("stream beyond mesh lane budget")
+        Fl = (nominal + ndev - 1) // ndev
+        if Fl > 1024:
+            raise NeedFallback("too many streams")
+        F = Fl * ndev
+        streams = list(streams) + [b""] * (F - nominal)
+        sizes_p = list(sizes) + [0] * (F - nominal)
+
+        packs = [plx.pack_streams(streams[d * Fl:(d + 1) * Fl])
+                 for d in range(ndev)]
+        W = max(p[1] for p in packs)
+        stream = np.zeros((ndev, W, 8, 128), np.uint32)
+        for dd, (arr, wd) in enumerate(packs):
+            stream[dd, :wd] = arr
+        outlen = np.zeros((ndev, 8, 128), np.int32)
+        for g, s in enumerate(sizes_p):
+            outlen[g // Fl, (g % Fl) // 128, (g % Fl) % 128] = s
+        hist = np.zeros((ndev, 8, 128), np.int32)
+        valid = np.zeros((ndev, 1024), np.int32)
+        for g in range(nominal):
+            valid[g // Fl, g % Fl] = 1
+        WSIZE = 1 << window_bits
+        cap = max(sizes)
+        stride = WSIZE + cap
+        N_loc = Fl * stride
+        t_pad = ((cap + 4096 + 127) // 128) * 128
+        interp = _tpu_interpret()
+
+        def local(stream, outlen, hist, vmask):
+            tok, litw, cnt = plx._run(stream[0], outlen[0], hist[0],
+                                      8, 128, W, t_pad, window_bits,
+                                      False, interp)
+            T = t_pad
+            tok = jnp.transpose(tok.reshape(T, 1024)[:, :Fl])  # (Fl,T)
+            litw = jnp.transpose(litw.reshape(T, 1024)[:, :Fl])
+            cnt = cnt.reshape(8, 1024)
+            vm = vmask[0, :Fl]
+            errs = jnp.where(vm > 0, cnt[0, :Fl], 0)
+            flen = jnp.where(vm > 0, cnt[1, :Fl], 0)
+            tok = jnp.where(vm[:, None] > 0, tok, -1)
+            live = tok >= 0
+            is_lit = live & ((tok >> 29) & 1).astype(bool)
+            is_mt = live & ((tok >> 30) & 1).astype(bool)
+            nlit = jnp.where(is_lit, tok & 7, 0)
+            mlen = jnp.where(is_mt, tok & 0xFFFFF, 0)
+            tlen = nlit + mlen
+            within = jnp.cumsum(tlen, axis=1) - tlen
+            base = (jnp.arange(Fl, dtype=jnp.int32) * stride + WSIZE)
+            out_start = (base[:, None] + within).reshape(-1)
+            tlen_f = tlen.reshape(-1)
+            v_f = tok.reshape(-1)
+            w_f = litw.reshape(-1)
+            nl_f = nlit.reshape(-1)
+            LT = Fl * T
+            marks = jnp.zeros(N_loc + 1, jnp.int32).at[
+                jnp.where(tlen_f > 0, jnp.clip(out_start, 0, N_loc),
+                          N_loc)].max(
+                jnp.arange(LT, dtype=jnp.int32) + 1)
+            tok_id = jnp.clip(jax.lax.cummax(marks[:N_loc]) - 1, 0,
+                              LT - 1)
+            pos = jnp.arange(N_loc, dtype=jnp.int32)
+            st = jnp.take(out_start, tok_id)
+            vv = jnp.take(v_f, tok_id)
+            ww = jnp.take(w_f, tok_id)
+            nl = jnp.take(nl_f, tok_id)
+            b_off = pos - st
+            lit_byte = b_off < nl
+            litval = (ww >> (8 * jnp.clip(b_off, 0, 3))) & 0xFF
+            in_pfx = (pos % stride) < WSIZE
+            ptr = jnp.where(in_pfx, pos,
+                            jnp.where(lit_byte, pos, pos - ww))
+            litv = jnp.where(~in_pfx & lit_byte, litval, 0)
+            roots = _point_roots(ptr, N_loc)
+            out = jnp.take(litv, jnp.clip(roots, 0, N_loc - 1))
+            inv = jnp.logical_or(jnp.any(errs != 0),
+                                 jnp.any(roots < 0))
+            return (out[None], flen, errs, cnt[4, :Fl], cnt[5, :Fl],
+                    inv[None])
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp", None), P("dp"), P("dp"), P("dp"),
+                       P("dp"), P("dp")),
+            check_vma=False)
+        out, flen, errs, ifl, ifsz, inv = jax.jit(fn)(
+            jnp.asarray(stream), jnp.asarray(outlen),
+            jnp.asarray(hist), jnp.asarray(valid))
+        if bool(jnp.any(inv)):
+            raise NeedFallback("kernel error / invalid chain")
+        flen_np = np.asarray(flen).reshape(-1)
+        if not np.array_equal(flen_np[:nominal],
+                              np.asarray(sizes, np.int64)):
+            raise NeedFallback("size mismatch")
+        out_np = np.asarray(out)
+        ifl_np = np.asarray(ifl).reshape(-1)
+        ifsz_np = np.asarray(ifsz).reshape(-1)
+        results = []
+        for g in range(nominal):
+            dd, j = g // Fl, g % Fl
+            blob = out_np[dd, j * stride + WSIZE:
+                          j * stride + WSIZE + sizes[g]] \
+                .astype(np.uint8).tobytes()
+            if ifl_np[g] and ifsz_np[g]:
+                blob = plx.e8_decode(blob, int(ifsz_np[g]))
+            results.append(blob)
+        return results
+    except NeedFallback:
         return None
 
 
 def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
-    """Decode a whole cabinet over the mesh: MSZIP folders through the
-    ring (folder = shard grid row, frames dp-sharded), NONE folders as
-    raw copies; anything else -> None (host engines own it).
+    """Decode a whole cabinet over the mesh (EP-style per-codec
+    dispatch, SURVEY §2.4): MSZIP folders through the ppermute ring
+    (frames dp-sharded), LZX folders dp-sharded as independent lane
+    streams, NONE folders as raw copies, and Quantum folders through
+    the host adaptive-arithmetic engine (its per-symbol model mutation
+    has no intra-stream parallelism, qtmd.c:92-166 — folder-DP on the
+    host pool is its grid).
 
     Returns {filename: bytes} for every member."""
     from ..formats.cab import CabDecompressor, COMPTYPE_MASK
@@ -286,6 +476,7 @@ def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
     d = CabDecompressor()
     cab = d.open(path_or_bytes)
     folder_bytes = {}
+    lzx_jobs = {}   # wb -> [(fi, stream, size)]
     for fi, fol in enumerate(cab.folders):
         ct = fol.comp_type & COMPTYPE_MASK
         if ct == 1:
@@ -304,8 +495,38 @@ def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
                 return None
             blocks, _ = collected
             folder_bytes[fi] = b"".join(blocks)
+        elif ct == 3:
+            collected = d.collect_raw_blocks(fol)
+            if collected is None:
+                return None
+            blocks, sizes = collected
+            wb = (fol.comp_type >> 8) & 0x1F
+            lzx_jobs.setdefault(wb, []).append(
+                (fi, b"".join(blocks), sum(sizes)))
+        elif ct == 2:
+            from .. import native
+            collected = d.collect_raw_blocks(fol)
+            if collected is None or not native.available():
+                return None
+            blocks, sizes = collected
+            # cabd injects a 0xFF realign trailer after each block
+            # (cabd.c:1327-1332)
+            stream = b"\xff".join(blocks) + b"\xff"
+            blob = native.qtm_decode(stream,
+                                     (fol.comp_type >> 8) & 0x1F,
+                                     sum(sizes))
+            if blob is None:
+                return None
+            folder_bytes[fi] = blob
         else:
             return None
+    for wb, jobs in lzx_jobs.items():
+        outs = decode_lzx_streams_sharded(
+            mesh, [j[1] for j in jobs], [j[2] for j in jobs], wb)
+        if outs is None:
+            return None
+        for (fi, _, _), blob in zip(jobs, outs):
+            folder_bytes[fi] = blob
     out = {}
     for f in cab.files:
         fi = next(i for i, fol in enumerate(cab.folders)

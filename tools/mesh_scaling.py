@@ -39,7 +39,10 @@ def main():
     rng = random.Random(7)
     text = (b"The quick brown fox jumps over the lazy dog. " * 60
             + bytes(rng.randrange(64) for _ in range(2048)))
-    folder_blob = (text * ((2 << 20) // len(text) + 1))[:2 << 20]
+    # round 4: the mesh runs the PRODUCT Pallas kernels (interpreter
+    # mode on the virtual CPU mesh), so the proxy corpus is small —
+    # 4 folders x 64 KiB = 8 frames, enough to populate 8 devices
+    folder_blob = (text * ((64 << 10) // len(text) + 1))[:64 << 10]
     folders = []
     expects = {}
     for k in range(4):
@@ -57,7 +60,7 @@ def main():
         out = pmesh.decode_cab_sharded(mesh, cab_bytes)   # compile+check
         assert out == expects, f"mismatch at ndev={ndev}"
         best = float("inf")
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
             out = pmesh.decode_cab_sharded(mesh, cab_bytes)
             best = min(best, time.perf_counter() - t0)
