@@ -211,3 +211,20 @@ def test_chm_engine_tpu_reset_chunks():
     # the kernel path actually ran (not the native fallback)
     assert d._tpu_lzx_engine is not None
     assert d._tpu_lzx_engine.n_decoded >= 4  # 120 KB / 32 KiB chunks
+
+
+def test_multihost_two_process_dryrun():
+    """jax.distributed 2-process corpus scatter / result gather
+    (SURVEY §5.8) decodes a 4-codec cab bit-exact on both processes."""
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "multihost_dryrun.py")],
+        capture_output=True, text=True, timeout=600,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
+    assert "bit-exact on both" in r.stdout, (r.stdout[-1000:],
+                                             r.stderr[-1000:])
