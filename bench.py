@@ -31,7 +31,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 CORPUS_MB = {"mszip": 96, "lzx": 96, "quantum": 24}
-FOLDER_MB = 24
+# folder sizes: folders are the thread-pool grid; quantum uses 6 MiB
+# folders so its row measures folder-DP across the pool rather than a
+# single-stream single-core comparison (VERDICT r3 item 9)
+FOLDER_MB = {"mszip": 24, "lzx": 24, "quantum": 6}
 
 
 def build_corpus(total_bytes: int) -> bytes:
@@ -50,7 +53,7 @@ def build_corpus(total_bytes: int) -> bytes:
 def build_cab(corpus: bytes, compression: str) -> bytes:
     from libmspack_tpu.compress import cab_c
     folders = []
-    fsz = FOLDER_MB << 20
+    fsz = FOLDER_MB[compression] << 20
     for i in range(0, len(corpus), fsz):
         folders.append(cab_c.FolderSpec(
             [(f"f{i}.bin", corpus[i : i + fsz])], compression))
@@ -180,6 +183,37 @@ def bench_ours_tpu(cab_path: str, corpus: bytes, reps: int = 2):
     return best
 
 
+def bench_kernels_inline(extra):
+    """Compiled-mode kernel evidence in the default chain (VERDICT r3
+    item 8): a quick chip run of both entropy kernels with full
+    32 KiB frames, recording throughput AND bit-exactness so kernel
+    regressions can't hide behind the MSPACK_TPU_TESTS gate."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return
+    try:
+        from libmspack_tpu.ops import pallas_resolve as pr
+        from libmspack_tpu.ops import pallas_lzx as plx
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import bench_kernels as bk
+        e1 = bk.bench_inflate_phase_a(n=256, kb=32)
+        e2 = plx.bench_entry(n_lanes=128, chunk_kb=32)
+        for name, e in (("pallas_inflate_phase_a", e1),
+                        ("pallas_lzx_phase_a", e2)):
+            extra[name] = {
+                "value": e["mb_per_s"], "unit": "MB/s",
+                "bit_exact": bool(e["sampled_bit_exact"]
+                                  and e["errors"] == 0),
+                "vs_baseline": round(e["mb_per_s"] / 675.0, 3)}
+            print(f"# kernel {name}: {e['mb_per_s']} MB/s "
+                  f"device-resident, errors={e['errors']}, "
+                  f"bit_exact={e['sampled_bit_exact']}",
+                  file=sys.stderr)
+    except Exception as exc:
+        print(f"# kernel evidence failed: {exc}", file=sys.stderr)
+
+
 def main():
     extra = {}
     headline = None
@@ -193,8 +227,8 @@ def main():
         # cab construction is not what this benchmark measures, and the
         # in-house encoders are deliberately exact rather than fast —
         # cache the built cabinet keyed by codec+size
-        cpath = os.path.join(cache_dir,
-                             f"{comp}_{CORPUS_MB[comp]}.cab")
+        cpath = os.path.join(
+            cache_dir, f"{comp}_{CORPUS_MB[comp]}_f{FOLDER_MB[comp]}.cab")
         if os.path.exists(cpath):
             cab_bytes = open(cpath, "rb").read()
         else:
@@ -233,6 +267,8 @@ def main():
               f"{ref_gbps:.3f} GB/s ({ref_t:.3f}s, 1 thread C); ours "
               f"{ours_gbps:.3f} GB/s ({ours_t:.3f}s, {os.cpu_count()} "
               f"threads)", file=sys.stderr)
+
+    bench_kernels_inline(extra)
 
     print(json.dumps({
         "metric": "mszip_decompress",
