@@ -211,6 +211,7 @@ class CabDecompressor:
         self._scratch_out = None   # warm decode arena (native.Scratch)
         self._tpu_engine = None    # lazy TpuMszipEngine (engine="tpu")
         self._tpu_lzx_engine = None  # lazy TpuLzxEngine (engine="tpu")
+        self._tpu_qtm_engine = None  # lazy TpuQtmEngine (engine="tpu")
         self._scratch_in = None    # warm staging arena
         self._img_cache = None     # (Cabinet, np image view)
         self._d: Optional[_DecompState] = None
@@ -660,6 +661,21 @@ class CabDecompressor:
                         sink.close()
 
         if (self.engine == "tpu" and not self.salvage
+                and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_QUANTUM):
+            folder_bytes = self._folder_bytes_qtm_tpu(fol)
+            if folder_bytes is not None:
+                sink = output if isinstance(output, Sink) else FileSink(output)
+                try:
+                    if file.offset + filelen > len(folder_bytes):
+                        raise DecrunchError("file beyond decoded folder")
+                    sink.write(folder_bytes[file.offset :
+                                            file.offset + filelen])
+                    return
+                finally:
+                    if sink is not output and hasattr(sink, "close"):
+                        sink.close()
+
+        if (self.engine == "tpu" and not self.salvage
                 and (fol.comp_type & COMPTYPE_MASK) == COMPTYPE_LZX):
             folder_bytes = self._folder_bytes_lzx_tpu(fol)
             if folder_bytes is not None:
@@ -892,6 +908,41 @@ class CabDecompressor:
             return None
         self._folder_cache = (fol, out)
         return out
+
+    def _folder_bytes_qtm_tpu(self, fol: CabFolder) -> bytes | None:
+        """Whole-folder Quantum decode via the Pallas lane kernel
+        (ops/pallas_qtm.py phase A on device + native trace resolve).
+        The folder stream gets one 0xFF realign trailer per CFDATA
+        block (cabd.c:1327-1332); folders above the per-lane budget
+        fall back to the native arithmetic engine."""
+        if self._folder_cache is not None and self._folder_cache[0] is fol:
+            return self._folder_cache[1]
+        try:
+            from ..parallel.tpu_pipeline import (LZX_TPU_MAX_CHUNK,
+                                                 TpuQtmEngine)
+        except Exception:
+            return None
+        collected = self.collect_raw_blocks(fol)
+        if collected is None:
+            return None
+        blocks, sizes = collected
+        total = sum(sizes)
+        if total > LZX_TPU_MAX_CHUNK:
+            return None
+        try:
+            if self._tpu_qtm_engine is None:
+                import jax
+                self._tpu_qtm_engine = TpuQtmEngine(
+                    interpret=jax.default_backend() == "cpu")
+            stream = b"".join(b + b"\xff" for b in blocks)
+            outs = self._tpu_qtm_engine.decode_streams(
+                [stream], [total], (fol.comp_type >> 8) & 0x1F)
+        except Exception:
+            return None
+        if outs is None or outs[0] is None:
+            return None
+        self._folder_cache = (fol, outs[0])
+        return outs[0]
 
     def _folder_bytes_lzx_tpu(self, fol: CabFolder) -> bytes | None:
         """Whole-folder LZX decode via the Pallas lane kernel

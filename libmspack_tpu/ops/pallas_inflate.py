@@ -760,7 +760,11 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixd_ref, fixf_ref,
             pltpu.make_async_copy(stage_lit.at[0],
                                   litw_hbm.at[pl.ds(0, CHUNK)],
                                   sems.at[S_LIT + s]).wait()
-    @pl.when(jnp.logical_and(c == 1, jax.lax.rem(t_end, CHUNK) > 0))
+    # c == 1 must drain even when t_end lands exactly on a chunk
+    # boundary: chunk 0's flush started at t_end-1 and is still
+    # in flight (an outstanding DMA at kernel end aborts the
+    # program)
+    @pl.when(c == 1)
     def _():
         slotp = jax.lax.rem(c, 2) ^ 1
         pltpu.make_async_copy(stage_tok.at[0],

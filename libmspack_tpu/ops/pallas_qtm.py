@@ -14,8 +14,9 @@ Semantics pinned by codecs/qtm.py (oracle-verified):
   byte-swapped so byte 0 is the MSB of the 64-bit (hi, lo) buffer.
 * 16-bit range coder H/L/C with underflow renormalisation; the
   divisions ((code-lo+1)*total-1)//span and (cum*span)//total have
-  numerators < 2^28 so they fit i32, computed by f32-reciprocal with
-  exact integer correction (vector integer division does not lower).
+  numerators < 2^28 so they fit i32, computed by restoring binary
+  long division (vector integer division does not lower, and an f32
+  estimate of a 28-bit numerator can be ~60 off).
 * 9 adaptive model tables per lane — selector(7), 4 literal(64),
   match3/match4/matchv (window-sized), matchv-len(27) — stored as
   (65, SL, LN) rows of (sym<<16)|cumfreq. GET_SYMBOL = one
@@ -25,10 +26,11 @@ Semantics pinned by codecs/qtm.py (oracle-verified):
   (the range math depends on exact cumfreqs), so a lane that trips
   cumfreq>3800 parks in a rescale-wait mode; scalar-period blocks
   apply them masked: the halve (cf[i]=max(cf[i]>>1, cf[i+1]+1), a
-  max-plus suffix recurrence) via log-step shifted maxes every
-  HALVE_PERIOD steps, and the every-5th frequency re-sort (a STABLE
-  descending sort, emulated by sorting (count<<8 | 63-row) keys
-  through a static 64-wide bitonic network) every SORT_PERIOD steps.
+  sequential row recurrence) every HALVE_PERIOD steps, and the
+  every-5th frequency re-sort every SORT_PERIOD steps. The re-sort
+  replays the reference's EXCHANGE sort pair-for-pair from an SMEM
+  schedule — its permutation of equal counts is path-dependent and
+  no key-based (stable or otherwise) sort reproduces it.
 * 32 KiB frames: realign to a byte, scan 8-bit units for the 0xFF
   trailer, re-init the coder from 16 raw bits (qtmd.c:430-442).
 * Ring-window aliasing (offset > window lap) splits a match into two
@@ -86,24 +88,30 @@ LENGTH_EXTRA = tuple(((0 if i < 2 else i - 2) >> 2)
 LENGTH_BASE = _cum_bases(LENGTH_EXTRA[:26]) + (254,)
 
 
-def _bitonic_pairs(n):
-    """Compare-exchange pairs (ascending index order) for a full
-    n=2^k bitonic sorting network, sorting DESCENDING by key."""
+def _exchange_pairs(n):
+    """The reference's frequency re-sort is an EXCHANGE sort
+    (qtmd.c:150-158 / codecs/qtm.py update): for i<j in lexicographic
+    order, swap iff cf[i] < cf[j]. Its permutation of EQUAL counts is
+    path-dependent — no key-based sort reproduces it — so the kernel
+    replays the exact pair schedule, one per table size."""
     pairs = []
-    k = 2
-    while k <= n:
-        j = k // 2
-        while j >= 1:
-            for i in range(n):
-                l = i ^ j
-                if l > i:
-                    pairs.append((i, l, (i & k) == 0))
-            j //= 2
-        k *= 2
+    for i in range(n - 1):
+        for j in range(i + 1, n):
+            pairs.append((i, j))
     return pairs
 
 
-_B64 = _bitonic_pairs(64)
+def _pair_arrays(wb):
+    """Concatenated per-table exchange schedules + offsets."""
+    ns = _model_sizes(wb)
+    pi, pj, offs = [], [], [0]
+    for n in ns:
+        ps = _exchange_pairs(n)
+        pi.extend(p[0] for p in ps)
+        pj.extend(p[1] for p in ps)
+        offs.append(len(pi))
+    return (np.asarray(pi, np.int32), np.asarray(pj, np.int32),
+            tuple(offs))
 
 
 def _model_sizes(wb):
@@ -114,7 +122,7 @@ def _model_sizes(wb):
 _MODEL_STARTS = (0, 0, 64, 128, 192, 0, 0, 0, 0)
 
 
-def _kernel(stream_hbm, outlen_ref,
+def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
             tok_hbm, litw_hbm, cnt_ref,
             win_ref, tabs, rescnt,
             stage_tok, stage_lit, mintmp, sems,
@@ -124,6 +132,9 @@ def _kernel(stream_hbm, outlen_ref,
     f32 = jnp.float32
     WSIZE = 1 << WB
     NS = _model_sizes(WB)
+    _POFFS = [0]
+    for _n in NS:
+        _POFFS.append(_POFFS[-1] + _n * (_n - 1) // 2)
     rowi = jax.lax.broadcasted_iota(i32, (SL, LN), 0)
     coli = jax.lax.broadcasted_iota(i32, (SL, LN), 1)
     laneid = rowi * LN + coli
@@ -512,6 +523,13 @@ def _kernel(stream_hbm, outlen_ref,
         bithi, bitlo, navail = consume(bithi, bitlo, navail, k)
 
         # ---------- periodic rescale blocks -------------------------
+        # classify a NEW request BEFORE the blocks run: a lane parking
+        # on a block step is rescaled (and released) that same step,
+        # so its halve-vs-sort type must already be current
+        rcur = jnp.sum(jnp.where(jax.lax.broadcasted_iota(
+            i32, (NT, SL, LN), 0) == pk[None], rescnt[:], 0), axis=0)
+        ptyp = jnp.where(needs_rs, jnp.where(rcur - 1 == 0, 1, 0),
+                         ptyp)
         in_rs = new_mode == QRS
         do_halve = jax.lax.rem(t, HALVE_PERIOD) == HALVE_PERIOD - 1
         do_sort = jax.lax.rem(t, SORT_PERIOD) == SORT_PERIOD - 1
@@ -536,16 +554,14 @@ def _kernel(stream_hbm, outlen_ref,
         @pl.when(do_sort)
         def _():
             # every-5th rescale (qtmd.c:144-155): counts =
-            # ((cf[i]-cf[i+1])+1)>>1, STABLE descending sort of
-            # (sym, count), then cumfreqs rebuilt by suffix sum.
-            # Stability is encoded in the sort key ((count<<8) |
-            # (64-row)), so the static bitonic network is safe; the
-            # records ride in the table rows during the sort.
+            # ((cf[i]-cf[i+1])+1)>>1, the reference's EXCHANGE sort
+            # replayed pair-for-pair (its equal-count permutation is
+            # path-dependent), then cumfreqs rebuilt by suffix sum.
+            # Records ((count<<16)|sym) ride in the table rows during
+            # the sort; the pair schedule comes from SMEM so the loop
+            # stays small in the compiled program.
             for m in range(NT):
                 n = NS[m]
-                net = 8
-                while net < n:
-                    net *= 2
                 mm = in_rs & (pk == m) & (ptyp == 1)
                 # rows -> sort records (counts via next-row carry)
                 nxt = zero  # cf[n] sentinel = 0
@@ -553,35 +569,29 @@ def _kernel(stream_hbm, outlen_ref,
                     r = tabs[m, i]
                     cf = r & 0xFFFF
                     cnts = ((cf - nxt) + 1) >> 1
-                    rec = (cnts << 16) | ((TROWS - 1 - i) << 8) \
-                        | (r >> 16)
+                    rec = (cnts << 16) | (r >> 16)
                     tabs[m, i] = jnp.where(mm, rec, r)
                     nxt = jnp.where(mm, cf, nxt)
-                for i in range(n, net):
-                    if i < TROWS:
-                        r = tabs[m, i]
-                        tabs[m, i] = jnp.where(mm, vfull(-1), r)
-                for (a, b, up) in _bitonic_pairs(net):
-                    if a >= TROWS or b >= TROWS:
-                        continue
+                def ce(p, _):
+                    a = pairs_i[p]
+                    b = pairs_j[p]
                     ra = tabs[m, a]
                     rb = tabs[m, b]
-                    swap = mm & ((ra < rb) if up else (ra > rb))
+                    swap = mm & ((ra >> 16) < (rb >> 16))
                     tabs[m, a] = jnp.where(swap, rb, ra)
                     tabs[m, b] = jnp.where(swap, ra, rb)
+                    return 0
+                jax.lax.fori_loop(_POFFS[m], _POFFS[m + 1], ce, 0)
+
                 # records -> (sym<<16)|cumfreq by suffix sum
                 suf = zero
                 for i in range(n - 1, -1, -1):
                     r = tabs[m, i]
                     cnts = (r >> 16) & 0x7FF
-                    ssym = r & 0xFF
+                    ssym = r & 0xFFFF
                     nsuf = suf + cnts
                     tabs[m, i] = jnp.where(mm, (ssym << 16) | nsuf, r)
                     suf = jnp.where(mm, nsuf, suf)
-                for i in range(n, net):
-                    if i < TROWS:
-                        r = tabs[m, i]
-                        tabs[m, i] = jnp.where(mm, zero, r)
 
         # release waiting lanes whose rescale just ran; update the
         # per-kind rescale countdown
@@ -597,11 +607,6 @@ def _kernel(stream_hbm, outlen_ref,
         rescnt[:] = jnp.where(rdec, rescnt[:] - 1,
                               jnp.where(rset, vfull(50)[None],
                                         rescnt[:]))
-        # classify NEW rescale requests by the (pre-decrement) counter
-        rcur = jnp.sum(jnp.where(jax.lax.broadcasted_iota(
-            i32, (NT, SL, LN), 0) == pk[None], rescnt[:], 0), axis=0)
-        ptyp = jnp.where(needs_rs, jnp.where(rcur - 1 == 0, 1, 0),
-                         ptyp)
 
         # ---------- emit token row ----------------------------------
         row = jax.lax.rem(t, CHUNK)
@@ -674,7 +679,11 @@ def _kernel(stream_hbm, outlen_ref,
             pltpu.make_async_copy(stage_lit.at[0],
                                   litw_hbm.at[pl.ds(0, CHUNK)],
                                   sems.at[S_LIT + s]).wait()
-    @pl.when(jnp.logical_and(c == 1, jax.lax.rem(t_end, CHUNK) > 0))
+    # c == 1 must drain even when t_end lands exactly on a chunk
+    # boundary: chunk 0's flush started at t_end-1 and is still
+    # in flight (an outstanding DMA at kernel end aborts the
+    # program)
+    @pl.when(c == 1)
     def _():
         slotp = jax.lax.rem(c, 2) ^ 1
         pltpu.make_async_copy(stage_tok.at[0],
@@ -717,7 +726,8 @@ def _kernel(stream_hbm, outlen_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "SL", "LN", "W", "T_PAD", "WB", "interpret"))
-def _run(stream, outlen, SL, LN, W, T_PAD, WB, interpret=False):
+def _run(stream, outlen, pairs_i, pairs_j, SL, LN, W, T_PAD, WB,
+         interpret=False):
     kern = functools.partial(_kernel, SL=SL, LN=LN, W=W, T_PAD=T_PAD,
                              WB=WB)
     return pl.pallas_call(
@@ -727,7 +737,9 @@ def _run(stream, outlen, SL, LN, W, T_PAD, WB, interpret=False):
                    jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
                    jax.ShapeDtypeStruct((8, SL, LN), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
@@ -741,7 +753,7 @@ def _run(stream, outlen, SL, LN, W, T_PAD, WB, interpret=False):
             pltpu.SemaphoreType.DMA((NSEM,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(stream, outlen)
+    )(stream, outlen, pairs_i, pairs_j)
 
 
 def pack_streams(streams, SL=8, LN=128):
@@ -773,7 +785,9 @@ def qtm_phase_a(streams, out_lens, window_bits, SL=8, LN=128,
         # ~2 steps/byte for literal-heavy content + headers
         T_PAD = max(out_lens, default=1) * 2 + 4096
     T_PAD = ((T_PAD + CHUNK - 1) // CHUNK) * CHUNK
+    pi, pj, _ = _pair_arrays(window_bits)
     tok, litw, cnt = _run(jnp.asarray(stream), jnp.asarray(outlen),
+                          jnp.asarray(pi), jnp.asarray(pj),
                           SL, LN, W, T_PAD, window_bits, interpret)
     return (tok.reshape(T_PAD, L), litw.reshape(T_PAD, L),
             cnt.reshape(8, L))
@@ -801,3 +815,58 @@ def replay_trace(tok_col, litw_col, out_len, window_bits):
         if len(out) - base >= out_len:
             break
     return bytes(out[base:base + out_len])
+
+
+def bench_entry(n_lanes=256, chunk_kb=24, window_bits=15):
+    """Chip benchmark: n_lanes independent Quantum folder streams
+    decoded in one launch. Returns a BENCH_KERNELS.json entry."""
+    import time
+
+    import jax.numpy as jnp
+
+    from ..compress import qtm_e
+    base = open("/root/reference/libmspack/mspack/qtmd.c", "rb").read()
+    base = base * (1 + (chunk_kb * 1024 * n_lanes) // len(base))
+    datas, streams = [], []
+    for i in range(n_lanes):
+        d = base[i * chunk_kb * 1024:(i + 1) * chunk_kb * 1024]
+        datas.append(d)
+        frames = qtm_e.compress(d, window_bits)
+        streams.append(b"".join(p + b"\xff" for p in frames))
+    out_lens = [len(d) for d in datas]
+    t_pad = ((max(out_lens) * 2 + 2048 + CHUNK - 1) // CHUNK) * CHUNK
+    tok, litw, cnt = qtm_phase_a(streams, out_lens, window_bits,
+                                 T_PAD=t_pad)
+    cnth = np.asarray(cnt)
+    errs = int((cnth[0, :n_lanes] != 0).sum())
+    ok = int((cnth[1, :n_lanes] == np.array(out_lens)).sum())
+    exact = all(
+        replay_trace(np.asarray(tok)[:, i], np.asarray(litw)[:, i],
+                     out_lens[i], window_bits) == datas[i]
+        for i in (0, n_lanes // 2, n_lanes - 1))
+    # device-resident timing
+    stream, W = pack_streams(streams)
+    outlen = np.zeros((8, 128), np.int32)
+    for i, n in enumerate(out_lens):
+        outlen[i // 128, i % 128] = n
+    pi, pj, _ = _pair_arrays(window_bits)
+    args = (jnp.asarray(stream), jnp.asarray(outlen),
+            jnp.asarray(pi), jnp.asarray(pj))
+    np.asarray(_run(*args, 8, 128, W, t_pad, window_bits, False)[2])
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(_run(*args, 8, 128, W, t_pad, window_bits,
+                        False)[2])
+    dt = (time.perf_counter() - t0) / reps
+    total = sum(out_lens)
+    return {
+        "kernel": "pallas_qtm.phase_a",
+        "config": (f"{n_lanes} lanes x {chunk_kb} KiB folders, "
+                   f"window 2^{window_bits}, mixed C source"),
+        "bytes_out": total,
+        "ms": round(dt * 1e3, 1),
+        "mb_per_s": round(total / dt / 1e6, 1),
+        "errors": errs, "out_ok": ok, "sampled_bit_exact": bool(exact),
+        "max_steps": int(cnth[2].max()),
+    }

@@ -298,3 +298,79 @@ class TpuLzxEngine:
             outs[i] = arena[offs[j]:offs[j + 1]].tobytes()
         self.n_decoded += len(idxs)
         return True
+
+
+class TpuQtmEngine:
+    """Batched Quantum folder decode via the Pallas lane kernel.
+
+    Each lane is one CAB Quantum folder stream (0xFF trailers already
+    injected, cabd.c:1327-1332). Quantum's adaptive models make a
+    stream strictly sequential (qtmd.c:92-166); folders are the
+    parallel axis. Phase B reuses the native LZX trace resolver (the
+    kernel emits the same linear-distance token format, no E8).
+    """
+
+    def __init__(self, interpret: bool = False):
+        self.interpret = interpret
+        self.n_decoded = 0
+
+    def decode_streams(self, streams, out_lens, window_bits,
+                       n_threads=None):
+        import numpy as np
+
+        from .. import native
+
+        if not streams:
+            return []
+        if not native.available():
+            return None
+        if max(out_lens) > LZX_TPU_MAX_CHUNK:
+            return None
+        outs = [None] * len(streams)
+        for b0 in range(0, len(streams), LANES):
+            idxs = list(range(b0, min(b0 + LANES, len(streams))))
+            if not self._run_batch([streams[i] for i in idxs],
+                                   [out_lens[i] for i in idxs],
+                                   window_bits, idxs, outs, n_threads):
+                return None
+        return outs
+
+    def _run_batch(self, streams, sizes, window_bits, idxs, outs,
+                   n_threads):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .. import native
+        from ..ops import pallas_qtm as pq
+
+        t_pad = max(sizes) * 2 + 2048
+        # interpreter-mode cost scales with the lane grid (no Mosaic
+        # tiling constraint there) — shrink it for CPU test runs
+        sl = 1 if (self.interpret and len(streams) <= 128) else SL
+        tok, litw, cnt = pq.qtm_phase_a(
+            streams, sizes, window_bits, SL=sl, T_PAD=t_pad,
+            interpret=self.interpret)
+        cnth = np.asarray(cnt)
+        n = len(streams)
+        if (cnth[0, :n] != 0).any():
+            return False
+        if not np.array_equal(cnth[1, :n], np.asarray(sizes)):
+            return False
+        tstop = int(cnth[2, :n].max()) + 1
+        tokT = np.ascontiguousarray(
+            np.asarray(jnp.transpose(tok[:tstop])), dtype=np.int32)[:n]
+        litT = np.ascontiguousarray(
+            np.asarray(jnp.transpose(litw[:tstop])), dtype=np.int32)[:n]
+        offs = [0]
+        for s in sizes:
+            offs.append(offs[-1] + s)
+        arena = np.empty(offs[-1], np.uint8)
+        r = native.lzx_resolve_traces(tokT, litT, sizes, [0] * n,
+                                      [0] * n, window_bits, arena,
+                                      offs, n_threads)
+        if r != 0:
+            return False
+        for j, i in enumerate(idxs):
+            outs[i] = arena[offs[j]:offs[j + 1]].tobytes()
+        self.n_decoded += len(idxs)
+        return True

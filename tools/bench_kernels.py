@@ -88,12 +88,20 @@ def bench_lzx_phase_a():
     return plx.bench_entry()
 
 
+def bench_qtm_phase_a():
+    try:
+        from libmspack_tpu.ops import pallas_qtm as pq
+    except ImportError:
+        return None
+    return pq.bench_entry()
+
+
 def main():
     import jax
     dev = str(jax.devices()[0])
     entries = []
     for fn in (bench_inflate_phase_a, bench_resolve_device,
-               bench_lzx_phase_a):
+               bench_lzx_phase_a, bench_qtm_phase_a):
         try:
             e = fn()
         except Exception as exc:
