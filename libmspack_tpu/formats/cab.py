@@ -949,13 +949,13 @@ class CabDecompressor:
         (ops/pallas_lzx.py phase A on device + native trace resolve
         with E8). CAB LZX never resets (cabd.c:1249-1250), so the
         folder is one fresh stream on one lane; folders above the
-        per-lane trace budget fall back to the native engine (lane
-        parallelism comes from many folders / CHM reset chunks)."""
+        per-lane trace budget decode in 64 KiB segments with the
+        kernel's entropy state exported/imported between launches
+        (lane parallelism comes from many folders / CHM chunks)."""
         if self._folder_cache is not None and self._folder_cache[0] is fol:
             return self._folder_cache[1]
         try:
-            from ..parallel.tpu_pipeline import (LZX_TPU_MAX_CHUNK,
-                                                 TpuLzxEngine)
+            from ..parallel.tpu_pipeline import TpuLzxEngine
         except Exception:
             return None
         collected = self.collect_raw_blocks(fol)
@@ -963,8 +963,6 @@ class CabDecompressor:
             return None
         blocks, sizes = collected
         total = sum(sizes)
-        if total > LZX_TPU_MAX_CHUNK:
-            return None
         try:
             if self._tpu_lzx_engine is None:
                 import jax

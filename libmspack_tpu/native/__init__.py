@@ -63,6 +63,7 @@ def lib():
         _lib.msp_resolve_traces.restype = ctypes.c_int
         _lib.msp_lzx_resolve_trace.restype = ctypes.c_int
         _lib.msp_lzx_resolve_traces.restype = ctypes.c_int
+        _lib.msp_e8_decode.restype = None
     return _lib
 
 
@@ -443,7 +444,9 @@ def qtm_encode(data: bytes, window_bits: int,
 def lzx_resolve_traces(tok, litw, out_lens: list[int],
                        iflags: list[int], ifszs: list[int],
                        window_bits: int, out, out_offsets: list[int],
-                       n_threads: int | None = None) -> int:
+                       n_threads: int | None = None,
+                       hists=None, e8_bases: list[int] | None = None
+                       ) -> int:
     """Phase B for the LZX TPU entropy kernel: resolve per-lane token
     traces (ops/pallas_lzx.py format) into bytes + E8 untransform.
 
@@ -463,6 +466,14 @@ def lzx_resolve_traces(tok, litw, out_lens: list[int],
     assert tok.dtype == np.int32 and tok.flags.c_contiguous
     assert litw.dtype == np.int32 and litw.flags.c_contiguous
     assert litw.shape == tok.shape
+    hptr = None
+    if hists is not None:
+        assert hists.dtype == np.uint8 and hists.flags.c_contiguous
+        assert hists.size == n * (1 << window_bits)
+        hptr = hists.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    eptr = None
+    if e8_bases is not None:
+        eptr = (ctypes.c_int64 * n)(*e8_bases)
     return L.msp_lzx_resolve_traces(
         tok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         litw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -470,7 +481,17 @@ def lzx_resolve_traces(tok, litw, out_lens: list[int],
         ol, ifl, ifs, ctypes.c_int(n),
         ctypes.c_uint32(1 << window_bits),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), ooff,
-        ctypes.c_int(n_threads or default_threads()))
+        ctypes.c_int(n_threads or default_threads()), hptr, eptr)
+
+
+def e8_decode_buf(buf, ifsz: int, base: int = 0) -> None:
+    """In-place E8 untransform over a decoded uint8 numpy buffer."""
+    import numpy as np
+    L = lib()
+    assert buf.dtype == np.uint8 and buf.flags.c_contiguous
+    L.msp_e8_decode(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.c_uint64(buf.size), ctypes.c_int32(ifsz),
+                    ctypes.c_int64(base))
 
 
 def qtm_decode(stream: bytes, window_bits: int, out_len: int) -> bytes | None:

@@ -2375,10 +2375,17 @@ static void msp_e8_untransform(uint8_t* d, uint32_t fs, int32_t curpos,
 int msp_lzx_resolve_trace(const int32_t* tok, const int32_t* litw,
                           int64_t T, int64_t lane_stride, int lane,
                           uint64_t out_len, uint32_t wsize, int iflag,
-                          int32_t ifsz, uint8_t* out, uint8_t* work) {
+                          int32_t ifsz, uint8_t* out, uint8_t* work,
+                          const uint8_t* hist, int64_t e8_base) {
   const int32_t* tr = tok + (int64_t)lane * lane_stride;
   const int32_t* lw = litw + (int64_t)lane * lane_stride;
-  memset(work, 0, wsize);
+  // segment resume: the previous segment's window tail becomes the
+  // prefix so linear distances keep reaching across the boundary
+  if (hist) {
+    memcpy(work, hist, wsize);
+  } else {
+    memset(work, 0, wsize);
+  }
   uint64_t pos = wsize, target = wsize + out_len;
   for (int64_t t = 0; t < T && pos < target; t++) {
     int32_t v = tr[t];
@@ -2406,18 +2413,37 @@ int msp_lzx_resolve_trace(const int32_t* tok, const int32_t* litw,
   }
   if (pos != target) return 23;
   if (iflag && ifsz != 0) {
+    // e8_base: absolute byte offset of this segment (the intel frame
+    // counter and curpos are stream-absolute, lzxd.c:706-733)
     uint64_t off = 0;
-    uint32_t frame = 0;
-    while (off < out_len && frame < 32768) {
+    while (off < out_len) {
+      uint64_t abs = (uint64_t)e8_base + off;
+      uint32_t frame = (uint32_t)(abs >> 15);
+      if (frame >= 32768) break;
       uint32_t fs = out_len - off > 32768 ? 32768
                                           : (uint32_t)(out_len - off);
-      msp_e8_untransform(work + wsize + off, fs, (int32_t)off, ifsz);
+      msp_e8_untransform(work + wsize + off, fs, (int32_t)abs, ifsz);
       off += fs;
-      frame++;
     }
   }
   memcpy(out, work + wsize, out_len);
   return 0;
+}
+
+// Standalone E8 untransform over a whole decoded buffer (per 32 KiB
+// frame while the absolute frame index < 32768) — used by the
+// segmented kernel path, whose window tails must stay PRE-transform.
+void msp_e8_decode(uint8_t* buf, uint64_t len, int32_t ifsz,
+                   int64_t base) {
+  uint64_t off = 0;
+  while (off < len) {
+    uint64_t abs = (uint64_t)base + off;
+    uint32_t frame = (uint32_t)(abs >> 15);
+    if (frame >= 32768) break;
+    uint32_t fs = len - off > 32768 ? 32768 : (uint32_t)(len - off);
+    msp_e8_untransform(buf + off, fs, (int32_t)abs, ifsz);
+    off += fs;
+  }
 }
 
 // Batch variant: lanes are independent streams (CAB folders / CHM
@@ -2427,7 +2453,9 @@ int msp_lzx_resolve_traces(const int32_t* tok, const int32_t* litw,
                            const uint32_t* out_lens,
                            const int32_t* iflags, const int32_t* ifszs,
                            int n_lanes, uint32_t wsize, uint8_t* out,
-                           const int64_t* out_offsets, int n_threads) {
+                           const int64_t* out_offsets, int n_threads,
+                           const uint8_t* hists,
+                           const int64_t* e8_bases) {
   uint64_t max_out = 0;
   for (int i = 0; i < n_lanes; i++) {
     if (out_lens[i] > max_out) max_out = out_lens[i];
@@ -2444,10 +2472,11 @@ int msp_lzx_resolve_traces(const int32_t* tok, const int32_t* litw,
         err.store(20);
         continue;
       }
-      int r = msp_lzx_resolve_trace(tok, litw, T, lane_stride, i,
-                                    out_lens[i], wsize, iflags[i],
-                                    ifszs[i], out + out_offsets[i],
-                                    work.data());
+      int r = msp_lzx_resolve_trace(
+          tok, litw, T, lane_stride, i, out_lens[i], wsize, iflags[i],
+          ifszs[i], out + out_offsets[i], work.data(),
+          hists ? hists + (uint64_t)i * wsize : nullptr,
+          e8_bases ? e8_bases[i] : 0);
       if (r) err.store(r);
     }
   };

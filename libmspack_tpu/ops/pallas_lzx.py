@@ -73,19 +73,42 @@ BUILD_PERIOD = 32
 DEBUG_LANE = None  # set to a lane id to step-trace it (interpret mode)
 
 
-def _kernel(stream_hbm, outlen_ref, hist_ref,
-            tok_hbm, litw_hbm, cnt_ref,
+def _state_layout(WB):
+    """Row layout of the export/import state grid (segmenting a
+    reset-interval-0 CAB folder across launches, cabd.c:1249-1250):
+    the length-storage key tables + built first/limit rows. The
+    pretree never persists across a frame boundary (headers produce
+    no output, so a segment edge cannot interrupt one)."""
+    NMAIN = 256 + (POSITION_SLOTS[WB - 15] << 3)
+    rows = [("mainkey", NMAIN), ("lenkey", NLEN), ("alnkey", NALN),
+            ("limmain", 17), ("firstmain", 17), ("limlen", 17),
+            ("firstlen", 17), ("limaln", 17), ("firstaln", 17)]
+    offs = {}
+    off = 0
+    for name, n in rows:
+        offs[name] = (off, n)
+        off += n
+    return offs, off
+
+
+def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
+            tok_hbm, litw_hbm, cnt_ref, st_out,
             win_ref, mainkey, lenkey, prekey, alnkey,
             limmain, firstmain, limlen, firstlen,
             limpre, firstpre, limaln, firstaln,
             cntmain, cntlen,
             cnttmp, runtmp, stage_tok, stage_lit, mintmp, sems,
-            *, SL, LN, W, T_PAD, WB, DELTA):
+            *, SL, LN, W, T_PAD, WB, DELTA, RESUME):
     i32 = jnp.int32
     u32 = jnp.uint32
     WSIZE = 1 << WB
     NSLOTS = POSITION_SLOTS[WB - 15]
     NMAIN = 256 + (NSLOTS << 3)
+    ST_OFFS, ST_ROWS = _state_layout(WB)
+    ST_REFS = {"mainkey": mainkey, "lenkey": lenkey, "alnkey": alnkey,
+               "limmain": limmain, "firstmain": firstmain,
+               "limlen": limlen, "firstlen": firstlen,
+               "limaln": limaln, "firstaln": firstaln}
     rowi = jax.lax.broadcasted_iota(i32, (SL, LN), 0)
     coli = jax.lax.broadcasted_iota(i32, (SL, LN), 1)
     laneid = rowi * LN + coli
@@ -832,25 +855,55 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
         return jnp.logical_and(t < T_PAD, alldone == 0)
 
     nz_u = nz.astype(u32)
-    init = (jnp.int32(0), jnp.int32(0), nz + X_START, nz_u, nz_u,
-            nz, nz, nz, nz, nz, nz, nz, nz, nz, nz, nz,
-            nz, nz, nz + 1, nz + 1, nz + 1, nz, nz, nz, nz, nz,
-            nz, nz, nz, nz, nz, nz, nneg1)
-    # zero the length-storage key tables (fresh entropy state)
-    def zmain(n, _):
-        mainkey[n] = nz
-        return 0
-    jax.lax.fori_loop(0, NMAIN, zmain, 0)
-    def zlen(n, _):
-        lenkey[n] = nz
-        return 0
-    jax.lax.fori_loop(0, NLEN, zlen, 0)
-    def zsmall(n, _):
-        prekey[n] = nz
-        alnkey[jax.lax.rem(n, NALN)] = nz
-        limlen[jax.lax.rem(n, 17)] = nz
-        return 0
-    jax.lax.fori_loop(0, NPRE, zsmall, 0)
+    if not RESUME:
+        init = (jnp.int32(0), jnp.int32(0), nz + X_START, nz_u, nz_u,
+                nz, nz, nz, nz, nz, nz, nz, nz, nz, nz, nz,
+                nz, nz, nz + 1, nz + 1, nz + 1, nz, nz, nz, nz, nz,
+                nz, nz, nz, nz, nz, nz, nneg1)
+        # zero the length-storage key tables (fresh entropy state)
+        def zmain(n, _):
+            mainkey[n] = nz
+            return 0
+        jax.lax.fori_loop(0, NMAIN, zmain, 0)
+        def zlen(n, _):
+            lenkey[n] = nz
+            return 0
+        jax.lax.fori_loop(0, NLEN, zlen, 0)
+        def zsmall(n, _):
+            prekey[n] = nz
+            alnkey[jax.lax.rem(n, NALN)] = nz
+            limlen[jax.lax.rem(n, 17)] = nz
+            return 0
+        jax.lax.fori_loop(0, NPRE, zsmall, 0)
+    else:
+        # import: tables DMA'd from the exported state grid; carries
+        # from car_ref rows (_CAR layout). A lane stopped at a frame
+        # boundary with the realign pending (X_DONE won over X_REALN
+        # at the segment edge), so unfinished lanes resume in X_REALN.
+        for name, (off, rows) in ST_OFFS.items():
+            cp = pltpu.make_async_copy(st_in.at[pl.ds(off, rows)],
+                                       ST_REFS[name], sems.at[S_ROW])
+            cp.start()
+            cp.wait()
+        # a lane's exported mode is X_DONE whenever it reached its
+        # previous SEGMENT target — whether it resumes is decided by
+        # comparing its carried outpos to the NEW target
+        cerr = car_ref[26]
+        mode0 = jnp.where(
+            cerr > 0, vfull(X_ERR),
+            jnp.where(car_ref[5] >= outlen_ref[:], vfull(X_DONE),
+                      vfull(X_REALN))) + nz
+        init = (jnp.int32(0), jnp.int32(0), mode0,
+                car_ref[1].astype(u32), car_ref[2].astype(u32),
+                car_ref[3] + nz, nz, nz, nz, car_ref[5] + nz,
+                car_ref[4] + nz, car_ref[6] + nz, car_ref[7] + nz,
+                car_ref[8] + nz, car_ref[9] + nz, car_ref[10] + nz,
+                car_ref[11] + nz, car_ref[12] + nz, car_ref[13] + nz,
+                car_ref[14] + nz, car_ref[15] + nz, car_ref[16] + nz,
+                car_ref[17] + nz, car_ref[18] + nz, car_ref[19] + nz,
+                car_ref[20] + nz, car_ref[21] + nz, car_ref[22] + nz,
+                car_ref[23] + nz, car_ref[24] + nz, car_ref[25] + nz,
+                car_ref[26] + nz, nneg1)
 
     final = jax.lax.while_loop(cond, step, init)
     t_end = final[0]
@@ -861,6 +914,19 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
     ifsz = final[22]
     err = final[31]
     donestep = final[32]
+
+    # ---- state export: tables back to HBM, carries into cnt rows 8+
+    for name, (off, rows) in ST_OFFS.items():
+        cp = pltpu.make_async_copy(ST_REFS[name],
+                                   st_out.at[pl.ds(off, rows)],
+                                   sems.at[S_ROW])
+        cp.start()
+        cp.wait()
+    _car_idx = (2, 3, 4, 5, 10, 9, 11, 12, 13, 14, 15, 16, 17, 18,
+                19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31)
+    for k, fi in enumerate(_car_idx):
+        v = final[fi]
+        cnt_ref[8 + k] = v.astype(i32) if v.dtype == u32 else v
 
     @pl.when(jnp.logical_and(t_end >= 1,
                              jax.lax.rem(t_end - 1, RPD) == 0))
@@ -925,24 +991,29 @@ def _kernel(stream_hbm, outlen_ref, hist_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "SL", "LN", "W", "T_PAD", "WB", "DELTA", "interpret"))
-def _run(stream, outlen, hist, SL, LN, W, T_PAD, WB, DELTA,
-         interpret=False):
+    "SL", "LN", "W", "T_PAD", "WB", "DELTA", "RESUME", "interpret"))
+def _run(stream, outlen, hist, car, st_in, SL, LN, W, T_PAD, WB,
+         DELTA, RESUME=False, interpret=False):
     NMAIN = 256 + (POSITION_SLOTS[WB - 15] << 3)
+    _, ST_ROWS = _state_layout(WB)
     kern = functools.partial(_kernel, SL=SL, LN=LN, W=W, T_PAD=T_PAD,
-                             WB=WB, DELTA=DELTA)
+                             WB=WB, DELTA=DELTA, RESUME=RESUME)
     return pl.pallas_call(
         kern,
         interpret=interpret,
         out_shape=(jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
                    jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
-                   jax.ShapeDtypeStruct((8, SL, LN), jnp.int32)),
+                   jax.ShapeDtypeStruct((40, SL, LN), jnp.int32),
+                   jax.ShapeDtypeStruct((ST_ROWS, SL, LN), jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((WINR, SL, LN), jnp.uint32),    # win
             pltpu.VMEM((NMAIN, SL, LN), jnp.int32),    # mainkey
@@ -967,7 +1038,7 @@ def _run(stream, outlen, hist, SL, LN, W, T_PAD, WB, DELTA,
             pltpu.SemaphoreType.DMA((NSEM,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(stream, outlen, hist)
+    )(stream, outlen, hist, car, st_in)
 
 
 def pack_streams(streams, SL=8, LN=128):
@@ -984,18 +1055,32 @@ def pack_streams(streams, SL=8, LN=128):
 
 def lzx_phase_a(streams, out_lens, window_bits, hists=None,
                 is_delta=False, SL=8, LN=128, T_PAD=None,
-                interpret=False):
+                interpret=False, resume=None, return_state=False):
     """Run LZX phase A on a batch of independent streams.
 
     streams: list of bytes (each a fresh-entropy-state LZX stream: a
     CAB folder prefix, a CHM reset chunk, or an OAB block).
-    out_lens: expected decompressed byte count per stream.
+    out_lens: expected decompressed byte count per stream — with
+    `resume`, the ABSOLUTE stop target (segment boundaries must be
+    32 KiB frame multiples).
     hists: per-lane prefix budget for back-references beyond the
     stream start (DELTA reference bytes); 0 default.
-    Returns (tok (T,L), litw (T,L), counts (8,L)).
+    resume: (car (40, L) i32, st (ST_ROWS, L) i32) from a previous
+    segment's return_state=True call; streams must then be each
+    lane's REMAINDER from its exported word cursor (counts row 3 * 4
+    bytes in).
+    Returns (tok (T,L), litw (T,L), counts (40,L)[, state]) — counts
+    rows 8+ hold the exportable carries.
     """
     L = SL * LN
     stream, W = pack_streams(streams, SL, LN)
+    # bucket W to powers of two so multi-launch (segmented) decodes
+    # reuse one compiled kernel per bucket instead of recompiling for
+    # every remainder length
+    Wb = max(256, 1 << (W - 1).bit_length())
+    if Wb != W:
+        stream = np.pad(stream, ((0, Wb - W), (0, 0), (0, 0)))
+        W = Wb
     outlen = np.zeros((SL, LN), np.int32)
     for i, n in enumerate(out_lens):
         outlen[i // LN, i % LN] = n
@@ -1005,11 +1090,24 @@ def lzx_phase_a(streams, out_lens, window_bits, hists=None,
     if T_PAD is None:
         T_PAD = max(out_lens, default=1) + 4096
     T_PAD = ((T_PAD + CHUNK - 1) // CHUNK) * CHUNK
-    tok, litw, cnt = _run(jnp.asarray(stream), jnp.asarray(outlen),
-                          jnp.asarray(hist), SL, LN, W, T_PAD,
-                          window_bits, bool(is_delta), interpret)
-    return (tok.reshape(T_PAD, L), litw.reshape(T_PAD, L),
-            cnt.reshape(8, L))
+    _, ST_ROWS = _state_layout(window_bits)
+    if resume is None:
+        car = np.zeros((32, SL, LN), np.int32)
+        st_in = np.zeros((ST_ROWS, SL, LN), np.int32)
+    else:
+        car40, st = resume
+        car = np.ascontiguousarray(
+            np.asarray(car40)[8:40].reshape(32, SL, LN))
+        st_in = np.asarray(st).reshape(ST_ROWS, SL, LN)
+    tok, litw, cnt, st_out = _run(
+        jnp.asarray(stream), jnp.asarray(outlen), jnp.asarray(hist),
+        jnp.asarray(car), jnp.asarray(st_in), SL, LN, W, T_PAD,
+        window_bits, bool(is_delta), resume is not None, interpret)
+    out = (tok.reshape(T_PAD, L), litw.reshape(T_PAD, L),
+           cnt.reshape(40, L))
+    if return_state:
+        return out + (st_out.reshape(ST_ROWS, L),)
+    return out
 
 
 def replay_trace(tok_col, litw_col, out_len, window_bits,
@@ -1102,8 +1200,11 @@ def bench_entry(n_lanes=256, chunk_kb=64, window_bits=16):
     for i, n in enumerate(out_lens):
         outlen[i // 128, i % 128] = n
     hist = np.zeros((8, 128), np.int32)
+    _, st_rows = _state_layout(window_bits)
     args = (jnp.asarray(stream), jnp.asarray(outlen),
-            jnp.asarray(hist))
+            jnp.asarray(hist),
+            jnp.asarray(np.zeros((32, 8, 128), np.int32)),
+            jnp.asarray(np.zeros((st_rows, 8, 128), np.int32)))
     np.asarray(_run(*args, 8, 128, W, t_padr, window_bits, False)[2])
     t0 = time.perf_counter()
     for _ in range(reps):

@@ -378,10 +378,16 @@ def decode_lzx_streams_sharded(mesh: Mesh, streams: list[bytes],
         t_pad = ((cap + 4096 + 127) // 128) * 128
         interp = _tpu_interpret()
 
+        _, st_rows = plx._state_layout(window_bits)
+        car0 = jnp.zeros((32, 8, 128), jnp.int32)
+        st0 = jnp.zeros((st_rows, 8, 128), jnp.int32)
+
         def local(stream, outlen, hist, vmask):
-            tok, litw, cnt = plx._run(stream[0], outlen[0], hist[0],
-                                      8, 128, W, t_pad, window_bits,
-                                      False, interp)
+            tok, litw, cnt, _st = plx._run(stream[0], outlen[0],
+                                           hist[0], car0, st0,
+                                           8, 128, W, t_pad,
+                                           window_bits, False, False,
+                                           interp)
             T = t_pad
             tok = jnp.transpose(tok.reshape(T, 1024)[:, :Fl])  # (Fl,T)
             litw = jnp.transpose(litw.reshape(T, 1024)[:, :Fl])

@@ -246,15 +246,25 @@ class TpuLzxEngine:
             return []
         if not native.available():
             return None
-        if max(out_lens) > LZX_TPU_MAX_CHUNK:
-            return None
         outs = [None] * len(streams)
         order = list(range(len(streams)))
         for b0 in range(0, len(order), LANES):
             idxs = order[b0:b0 + LANES]
-            if not self._run_batch([streams[i] for i in idxs],
-                                   [out_lens[i] for i in idxs],
-                                   window_bits, idxs, outs, n_threads):
+            batch_streams = [streams[i] for i in idxs]
+            batch_lens = [out_lens[i] for i in idxs]
+            if max(batch_lens) > LZX_TPU_MAX_CHUNK:
+                if self.interpret:
+                    # multi-launch interpret runs are pathologically
+                    # slow; CPU test runs take the host engine
+                    return None
+                ok = self._decode_segmented(batch_streams, batch_lens,
+                                            window_bits, idxs, outs,
+                                            n_threads)
+            else:
+                ok = self._run_batch(batch_streams, batch_lens,
+                                     window_bits, idxs, outs,
+                                     n_threads)
+            if not ok:
                 return None
         return outs
 
@@ -297,6 +307,95 @@ class TpuLzxEngine:
         for j, i in enumerate(idxs):
             outs[i] = arena[offs[j]:offs[j + 1]].tobytes()
         self.n_decoded += len(idxs)
+        return True
+
+    # segment output per launch: bounds the (step, lane) trace so a
+    # reset-interval-0 CAB folder of any size decodes through the
+    # kernel (cabd.c:1249-1250 never resets; the kernel exports its
+    # full entropy state at the 32 KiB frame boundary and resumes)
+    LZX_SEG = 64 * 1024
+
+    def _decode_segmented(self, streams, total_lens, window_bits,
+                          idxs, outs, n_threads):
+        """Multi-launch decode: every launch advances each unfinished
+        lane by <= LZX_SEG bytes (frame-aligned), carrying the kernel
+        state (bit cursor, trees, LRU, block position) between
+        launches; window tails chain phase B across segments, and the
+        E8 untransform runs once at the end over pre-transform bytes."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .. import native
+        from ..ops import pallas_lzx as plx
+
+        n = len(streams)
+        wsize = 1 << window_bits
+        SEG = self.LZX_SEG
+        pos = [0] * n
+        parts = [bytearray() for _ in range(n)]
+        tails = np.zeros((n, wsize), np.uint8)
+        resume = None
+        rem = list(streams)
+        iflag = [0] * n
+        ifsz = [0] * n
+        t_pad = SEG + 4096
+        while any(pos[i] < total_lens[i] for i in range(n)):
+            targets = [min(total_lens[i], pos[i] + SEG)
+                       for i in range(n)]
+            res = plx.lzx_phase_a(rem, targets, window_bits,
+                                  T_PAD=t_pad,
+                                  interpret=self.interpret,
+                                  resume=resume, return_state=True)
+            tok, litw, cnt, st = res
+            cnth = np.asarray(cnt)
+            active = [i for i in range(n) if pos[i] < total_lens[i]]
+            if any(cnth[0, i] != 0 for i in active):
+                return False
+            if any(cnth[1, i] != targets[i] for i in active):
+                return False
+            tstop = int(cnth[2, :n].max()) + 1
+            tokT = np.ascontiguousarray(
+                np.asarray(jnp.transpose(tok[:tstop])),
+                dtype=np.int32)[:n]
+            litT = np.ascontiguousarray(
+                np.asarray(jnp.transpose(litw[:tstop])),
+                dtype=np.int32)[:n]
+            seg_lens = [targets[i] - pos[i] for i in range(n)]
+            offs = [0]
+            for s in seg_lens:
+                offs.append(offs[-1] + s)
+            arena = np.empty(max(offs[-1], 1), np.uint8)
+            hists = (np.ascontiguousarray(tails)
+                     if resume is not None else None)
+            # E8 applies once at the end (the window carries
+            # PRE-transform bytes, lzxd.c:706-733) -> iflags all 0
+            r = native.lzx_resolve_traces(
+                tokT, litT, seg_lens, [0] * n, [0] * n, window_bits,
+                arena, offs, n_threads,
+                hists=hists, e8_bases=None)
+            if r != 0:
+                return False
+            for i in range(n):
+                if seg_lens[i] == 0:
+                    continue
+                seg = arena[offs[i]:offs[i + 1]]
+                parts[i].extend(seg)
+                joined = np.concatenate([tails[i], seg])
+                tails[i] = joined[-wsize:]
+                iflag[i] = int(cnth[4, i])
+                ifsz[i] = int(cnth[5, i])
+                pos[i] = targets[i]
+            # next segment's streams: each lane's remainder from its
+            # exported word cursor (the bit buffer carries the tail)
+            wpos = cnth[3, :n]
+            rem = [rem[i][4 * int(wpos[i]):] for i in range(n)]
+            resume = (cnth, np.asarray(st))
+        for j, i in enumerate(idxs):
+            blob = np.frombuffer(bytes(parts[j]), np.uint8).copy()
+            if iflag[j] and ifsz[j]:
+                native.e8_decode_buf(blob, ifsz[j], 0)
+            outs[i] = blob.tobytes()
+        self.n_decoded += n
         return True
 
 

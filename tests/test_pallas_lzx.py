@@ -142,3 +142,32 @@ def test_phase_a_delta_with_reference_data():
     got = plx.replay_trace(np.asarray(tok)[:, 0], np.asarray(litw)[:, 0],
                            len(data), wb, ref_data=base)
     assert got == data
+
+
+@pytest.mark.skipif(not os.environ.get("MSPACK_TPU_TESTS"),
+                    reason="real-chip compiled-mode test; set "
+                           "MSPACK_TPU_TESTS=1 (one TPU job at a time)")
+def test_segmented_folder_state_export_on_chip():
+    """A 300 KB reset-interval-0 CAB-style LZX folder decodes through
+    5 kernel launches, exporting/importing the full entropy state
+    (trees, bit cursor, LRU, block position) at each 64 KiB frame
+    boundary — bit-exact vs the source (cabd.c:1249-1250 never
+    resets, so segmenting is the only way a folder of unbounded size
+    rides the lane kernel)."""
+    import subprocess
+    import sys
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    code = r'''
+from libmspack_tpu.compress.lzx_e import LzxEncoder
+from libmspack_tpu.parallel.tpu_pipeline import TpuLzxEngine
+text = open("/root/reference/libmspack/mspack/cabd.c", "rb").read()
+data = (text * 10)[:300 * 1024]
+s = LzxEncoder(16).compress(data)[0]
+eng = TpuLzxEngine()
+outs = eng.decode_streams([s], [len(data)], 16)
+assert outs is not None and outs[0] == data
+print("SEGMENTED-OK")
+'''
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert "SEGMENTED-OK" in r.stdout, r.stderr[-2000:]
