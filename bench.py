@@ -192,15 +192,19 @@ def bench_kernels_inline(extra):
     if jax.default_backend() == "cpu":
         return
     try:
-        from libmspack_tpu.ops import pallas_resolve as pr
         from libmspack_tpu.ops import pallas_lzx as plx
+        from libmspack_tpu.ops import pallas_qtm as pq
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "tools"))
         import bench_kernels as bk
-        e1 = bk.bench_inflate_phase_a(n=256, kb=32)
-        e2 = plx.bench_entry(n_lanes=128, chunk_kb=32)
+        # same configs as tools/bench_kernels.py so the persistent
+        # compilation cache is shared between the two entry points
+        e1 = bk.bench_inflate_phase_a(n=1024, kb=32)
+        e2 = plx.bench_entry(n_lanes=256, chunk_kb=64)
+        e3 = pq.bench_entry(n_lanes=256, chunk_kb=24)
         for name, e in (("pallas_inflate_phase_a", e1),
-                        ("pallas_lzx_phase_a", e2)):
+                        ("pallas_lzx_phase_a", e2),
+                        ("pallas_qtm_phase_a", e3)):
             extra[name] = {
                 "value": e["mb_per_s"], "unit": "MB/s",
                 "bit_exact": bool(e["sampled_bit_exact"]

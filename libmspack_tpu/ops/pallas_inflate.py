@@ -444,22 +444,14 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixd_ref, fixf_ref,
         prevlen = jnp.where(is_clh, 0, prevlen)
         new_mode = jnp.where(is_clh & ~clh_bad, M_CLRAW, new_mode)
         new_mode, new_err = seterr(clh_bad, new_mode, new_err)
-        # invalidate per-lane tables entering a dynamic block.
-        # UNCONDITIONAL masked passes: a vector-predicate gate
-        # (pl.when(jnp.any(...)) / lax.cond) costs ~100 us on this
-        # chip (cross-lane reduce + branch); the masked whole-table
-        # write is ~0.5 us.
+        # table invalidation for lanes entering a dynamic block is
+        # FUSED into the CLRAW/CLLENS write passes below (one
+        # read-modify-write per table per step instead of two;
+        # unconditional masked passes — a vector-predicate gate costs
+        # ~100 us on this chip). CLHDR and CLRAW/CLLENS are disjoint
+        # per lane, so ordering within the pass is irrelevant.
         m3l = is_clh[None]
-        symkey[:] = jnp.where(m3l & (rio_lit >= 0), vfull(-1)[None],
-                              symkey[:])
-        distkey[:] = jnp.where(m3l & (rio_dst >= 0), vfull(-1)[None],
-                               distkey[:])
-        clkey[:] = jnp.where(m3l & (rio_cl >= 0), vfull(-1)[None],
-                             clkey[:])
         z16 = zero[None]
-        cntlit[:] = jnp.where(m3l & (rio_16 >= 0), z16, cntlit[:])
-        cntdist[:] = jnp.where(m3l & (rio_16 >= 0), z16, cntdist[:])
-        cntcl[:] = jnp.where(m3l & (rio_16 >= 0), z16, cntcl[:])
 
         # ---------- M_CLRAW: one 3-bit pre-tree length per step -------
         is_clr = jnp.logical_and(go, mode == M_CLRAW)
@@ -474,10 +466,13 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixd_ref, fixf_ref,
         # come out permuted)
         wr_cl = jnp.logical_and(is_clr, clv > 0)
         mw = wr_cl[None] & (rio_cl == ordv[None])
-        clkey[:] = jnp.where(mw, (clv << 16)[None], clkey[:])
+        clkey[:] = jnp.where(m3l, vfull(-1)[None],
+                             jnp.where(mw, (clv << 16)[None],
+                                       clkey[:]))
         mc0 = wr_cl[None] & (rio_16 == clv[None])
-        cntcl[:] = cntcl[:] + jnp.where(mc0, vfull(1)[None],
-                                        zero[None])
+        cntcl[:] = jnp.where(m3l, z16,
+                             cntcl[:] + jnp.where(mc0, vfull(1)[None],
+                                                  zero[None]))
         clraw_i = clraw_i + jnp.where(is_clr, 1, 0)
         new_mode = jnp.where(is_clr & (clraw_i >= npre), M_WAITCL,
                              new_mode)
@@ -517,19 +512,23 @@ def _kernel(stream_hbm, hist_ref, fixk_ref, fixd_ref, fixf_ref,
                & (rio_lit < nlit[None]))
         kv = ((val << 16)[None]
               | (rb_lit[None] + (rio_lit - fillpos[None])))
-        symkey[:] = jnp.where(inr, kv, symkey[:])
+        symkey[:] = jnp.where(m3l, vfull(-1)[None],
+                              jnp.where(inr, kv, symkey[:]))
         a3 = rio_dst + nlit[None]
         inrd = (wr_any[None] & (a3 >= fillpos[None])
                 & (a3 < (fillpos + run)[None]))
         kvd = ((val << 16)[None]
                | (rb_dst[None]
                   + (a3 - jnp.maximum(fillpos, nlit)[None])))
-        distkey[:] = jnp.where(inrd, kvd, distkey[:])
+        distkey[:] = jnp.where(m3l, vfull(-1)[None],
+                               jnp.where(inrd, kvd, distkey[:]))
         mc = wr_any[None] & (rio_16 == val[None])
-        cntlit[:] = cntlit[:] + jnp.where(mc, nlit_in_run[None],
-                                          zero[None])
-        cntdist[:] = cntdist[:] + jnp.where(
-            mc, (run - nlit_in_run)[None], zero[None])
+        cntlit[:] = jnp.where(
+            m3l, z16, cntlit[:] + jnp.where(mc, nlit_in_run[None],
+                                            zero[None]))
+        cntdist[:] = jnp.where(
+            m3l, z16, cntdist[:] + jnp.where(
+                mc, (run - nlit_in_run)[None], zero[None]))
         prevlen = jnp.where(cl_lit, jnp.maximum(clsym, 0), prevlen)
         fillpos = fillpos + jnp.where(act, run, 0)
         new_mode = jnp.where(act & (fillpos >= nlit + ndist),

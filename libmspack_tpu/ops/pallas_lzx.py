@@ -194,10 +194,23 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
 
         # ---------- fetch: one conditional 32-bit refill -------------
         off = wpos - base
-        can = jnp.logical_and(pend == 0, off < WINR)
+        ok_win = pend == 0
+        can = jnp.logical_and(ok_win, off < WINR)
+        can_b = jnp.logical_and(ok_win,
+                                jnp.logical_and(off + 1 < WINR,
+                                                wpos + 1 < W))
         need = jnp.logical_and(navail < 32, jnp.logical_and(can, wpos < W))
-        w = sweep_fetch(jnp.where(need, off, vfull(WINR)))
+        # one window pass yields TWO words: the pre-step refill and a
+        # mid-step refill for the fused match path
+        w3f = win_ref[:].astype(i32)
+        sel_a = jnp.where(can, off, vfull(WINR))
+        sel_b = jnp.where(can_b, off + 1, vfull(WINR))
+        w = jnp.sum(jnp.where(rio_win == sel_a[None], w3f, 0),
+                    axis=0).astype(u32)
+        wbw = jnp.sum(jnp.where(rio_win == sel_b[None], w3f, 0),
+                      axis=0).astype(u32)
         w = (w << u32(16)) | (w >> u32(16))  # 16-bit LE units, MSB order
+        wbw = (wbw << u32(16)) | (wbw >> u32(16))
         nau = navail.astype(u32)
         bithi = jnp.where(need & (navail == 0), w, bithi)
         shr = jnp.clip(navail, 1, 31).astype(u32)
@@ -209,6 +222,7 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
         bitlo = jnp.where(need & (navail == 32), w, bitlo)
         navail = navail + jnp.where(need, 32, 0)
         wpos = jnp.where(need, wpos + 1, wpos)
+        used_a = need
         at_end = jnp.logical_and(navail < 32, wpos >= W)
         navail = jnp.where(at_end, 64, navail)
 
@@ -272,10 +286,33 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
         def probe(tab, rio):
             return jnp.max(jnp.where(tab[:] == key[None], rio, -1),
                            axis=0)
-        mainsym = probe(mainkey, rio_main)
+        # speculative SECOND literal: when the main symbol is a
+        # literal, a second canonical find on the shifted bits decodes
+        # the next symbol in the same step (lit1+lit2 <= 32 bits of
+        # the guaranteed window); both keys share one table read
+        blo2s = bithi << jnp.clip(length, 0, 31).astype(u32)
+        len2s = vfull(17)
+        rank2s = zero
+        acc2s = zero
+        for l in range(1, 17):
+            bit = ((blo2s >> (u32(32) - u32(l))) & u32(1)).astype(i32)
+            acc2s = (acc2s << 1) | bit
+            hit = jnp.logical_and(acc2s < limmain[l], len2s == 17)
+            len2s = jnp.where(hit, l, len2s)
+            rank2s = jnp.where(hit, acc2s - firstmain[l], rank2s)
+        ok2s = len2s < 17
+        len2s = jnp.where(ok2s, len2s, 0)
+        key2s = (len2s << 16) | rank2s
+
+        mk3 = mainkey[:]
+        mainsym = jnp.max(jnp.where(mk3 == key[None], rio_main, -1),
+                          axis=0)
+        mainsym2 = jnp.max(jnp.where(mk3 == key2s[None], rio_main, -1),
+                           axis=0)
         lensym = probe(lenkey, rio_len)
         presym = probe(prekey, rio_pre)
-        alnsym = probe(alnkey, rio_aln)
+        # (the aligned-offset probe happens in the X_DIST section with
+        # a per-lane key: fused lanes probe with the fused-buffer find)
 
         tok = vfull(TOK_NOP)
         litw_out = zero
@@ -472,6 +509,8 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
         k = k + jnp.where(is_body & ~b_bad, length, 0)
         blr = jnp.where(is_body & ~b_bad,
                         ensure_blr(blr, 16) - length, blr)
+        # (the committed second literal's bits are consumed below,
+        # after lit2_ok is known)
         is_lit = jnp.logical_and(is_body & ~b_bad, mainsym < 256)
         is_mt = jnp.logical_and(is_body & ~b_bad, mainsym >= 256)
         sym = jnp.maximum(mainsym, 0)
@@ -480,31 +519,57 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
         mlhdr = v & 7
         pendslot = jnp.where(is_mt, mslot, pendslot)
         pendlen = jnp.where(is_mt, mlhdr + 2, pendlen)
-        # literal packing (4 per token); `outpos` counts FLUSHED
-        # bytes, so edges must use the effective position incl. the
-        # packed-but-unflushed tail (eff), else a lane whose output
-        # ends mid-word would decode past its end
+        # literal packing (4 per token) with PAIR commit; `outpos`
+        # counts FLUSHED bytes, so edges use the effective position
+        # incl. the packed-but-unflushed tail (eff), else a lane whose
+        # output ends mid-word would decode past its end.
+        # the second literal only commits when the first one doesn't
+        # end a frame/block/stream, and it is itself a literal.
+        eff1 = outpos + litcnt + 1
+        edge1 = jnp.logical_and(
+            is_lit, (eff1 == frame_end) | (blkrem - 1 == 0)
+            | (eff1 >= outlen_ref[:]))
+        lit2_ok = (is_lit & ~edge1 & ok2s
+                   & (mainsym2 >= 0) & (mainsym2 < 256))
+        # 5 packed bytes + an edge would need an unrepresentable
+        # 5-byte flush token: keep the pair out of that corner
+        edge2 = ((eff1 + 1 == frame_end) | (blkrem - 2 == 0)
+                 | (eff1 + 1 >= outlen_ref[:]))
+        lit2_ok = lit2_ok & ~((litcnt == 3) & edge2)
+        sym2 = jnp.maximum(mainsym2, 0)
+        n_add = jnp.where(is_lit, 1, 0) + jnp.where(lit2_ok, 1, 0)
         litword2 = jnp.where(is_lit & (litcnt == 0), sym, litword)
         litword2 = jnp.where(is_lit & (litcnt > 0),
-                             litword | (sym << (8 * litcnt)), litword2)
-        litcnt2 = jnp.where(is_lit, litcnt + 1, litcnt)
-        blkrem = blkrem - jnp.where(is_lit, 1, 0)
+                             litword | (sym << (8 * jnp.clip(
+                                 litcnt, 0, 3))), litword2)
+        b2pos = litcnt + 1
+        litword2 = jnp.where(lit2_ok & (b2pos <= 3),
+                             litword2 | (sym2 << (8 * jnp.clip(
+                                 b2pos, 0, 3))), litword2)
+        litcnt2 = jnp.where(is_lit, litcnt + n_add, litcnt)
+        blkrem = blkrem - jnp.where(is_lit, n_add, 0)
         eff = outpos + jnp.where(is_lit, litcnt2, 0)
         lit_edge = jnp.logical_and(
             is_lit, (eff == frame_end) | (blkrem == 0)
             | (eff >= outlen_ref[:]))
-        flush4 = jnp.logical_and(is_lit, litcnt2 == 4)
+        flush4 = jnp.logical_and(is_lit, litcnt2 >= 4)
         flushn = jnp.logical_and(is_mt, litcnt > 0)
         do_flush = flush4 | flushn | lit_edge
-        nflush = jnp.where(flushn, litcnt, litcnt2)
+        # a 5th packed byte (pair landing on litcnt==3) carries over
+        carry5 = flush4 & (litcnt2 == 5) & ~lit_edge
+        nflush = jnp.where(flushn, litcnt,
+                           jnp.where(carry5, 4, litcnt2))
         tok = jnp.where(do_flush, TOK_LIT | nflush, tok)
         litw_out = jnp.where(do_flush,
                              jnp.where(flushn, litword, litword2),
                              litw_out)
         outpos = outpos + jnp.where(do_flush, nflush, 0)
-        litcnt = jnp.where(do_flush, 0, litcnt2)
-        litword = jnp.where(do_flush, 0, litword2)
+        litcnt = jnp.where(do_flush, jnp.where(carry5, 1, 0), litcnt2)
+        litword = jnp.where(do_flush, jnp.where(carry5, sym2, 0),
+                            litword2)
         b_bad2 = jnp.logical_and(is_lit, blkrem < 0)
+        k = k + jnp.where(lit2_ok, len2s, 0)
+        blr = jnp.where(lit2_ok, ensure_blr(blr, 16) - len2s, blr)
         lempty = limlen[16] == 0
         b_bad4 = jnp.logical_and(is_mt & (mlhdr == 7), lempty)
         new_mode = jnp.where(is_mt & (mlhdr == 7) & ~b_bad4, X_LEN,
@@ -528,9 +593,59 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
         new_mode = jnp.where(is_len & ~ln_bad, X_DIST, new_mode)
         new_mode, new_err = seterr(ln_bad, new_mode, new_err)
 
-        # ---------- X_DIST: offset resolution ------------------------
-        d_act = is_dist
+        # ---------- fused distance decode (round 4) -------------------
+        # lanes whose match LENGTH completed this step (X_BODY with a
+        # short length header, or X_LEN) decode the distance from the
+        # post-consume, mid-refilled buffer in the SAME step — one
+        # step per match instead of two. A lane that cannot see the
+        # <= 21 distance bits falls back to X_DIST exactly as before.
+        # a match with pending packed literals must emit the flush
+        # token this step (LZX match tokens carry the 32-bit distance
+        # in litw, so there is no nl-carry like DEFLATE's) — those
+        # lanes take the classic 2-step path
+        len_done = ((is_mt & (mlhdr < 7) & ~b_bad4 & ~flushn)
+                    | (is_len & ~ln_bad))
+        k1f = jnp.where(len_done, length, 0)
+        hi1, lo1, nav1 = consume(bithi, bitlo, navail, k1f)
+        w_m = jnp.where(used_a, wbw, w)
+        can_m = (used_a & can_b) | (~used_a & can)
+        need_m = len_done & (nav1 < 32) & can_m
+        shrm = jnp.clip(nav1, 1, 31).astype(u32)
+        hi1 = jnp.where(need_m & (nav1 == 0), w_m, hi1)
+        hi1 = jnp.where(need_m & (nav1 > 0) & (nav1 < 32),
+                        hi1 | (w_m >> shrm), hi1)
+        lo1 = jnp.where(need_m & (nav1 > 0) & (nav1 < 32),
+                        lo1 | (w_m << (u32(32) - shrm)), lo1)
+        lo1 = jnp.where(need_m & (nav1 == 32), w_m, lo1)
+        nav1 = nav1 + jnp.where(need_m, 32, 0)
+        at_end_m = len_done & (nav1 < 32) & \
+            ((wpos + jnp.where(need_m, 1, 0)) >= W)
+        nav1 = jnp.where(at_end_m, 64, nav1)
+        fuse = len_done & (nav1 >= 24)
+        # aligned-offset code find on the fused buffer
+        slot_pf = pendslot
+        eb_pf = jnp.where(slot_pf < 4, 0,
+                          jnp.minimum((slot_pf >> 1) - 1, 17))
+        d_aln_f = fuse & (blktype == 2) & (eb_pf >= 3)
+        vb_f = jnp.where(d_aln_f, eb_pf - 3, 0)
+        blo_f = hi1 << jnp.clip(vb_f, 0, 14).astype(u32)
+        len3 = vfull(17)
+        rank3 = zero
+        acc3 = zero
+        for l in range(1, 17):
+            bit = ((blo_f >> (u32(32) - u32(l))) & u32(1)).astype(i32)
+            acc3 = (acc3 << 1) | bit
+            hit = jnp.logical_and(acc3 < limaln[l], len3 == 17)
+            len3 = jnp.where(hit, l, len3)
+            rank3 = jnp.where(hit, acc3 - firstaln[l], rank3)
+        ok3 = len3 < 17
+        len3 = jnp.where(ok3, len3, 0)
+        key3 = (len3 << 16) | rank3
+
+        # ---------- X_DIST: offset resolution (also the fused path) --
+        d_act = is_dist | fuse
         slot = pendslot
+        src_hi = jnp.where(fuse, hi1, bithi)
         # arithmetic position base (slots < 38 closed form, then linear)
         eb = jnp.where(slot < 4, 0, jnp.minimum((slot >> 1) - 1, 17))
         pbase = jnp.where(
@@ -538,7 +653,7 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
             jnp.where(slot < 38,
                       ((2 + (slot & 1)) << jnp.maximum(eb, 0)),
                       524288 + (slot - 38) * 131072))
-        d_aln = dist_aln
+        d_aln = dist_aln | d_aln_f
         d_verb = jnp.logical_and(d_act, jnp.logical_and(slot >= 3,
                                                         ~d_aln)
                                  & (eb > 0))
@@ -546,11 +661,18 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
                            jnp.where(d_verb, eb, 0))
         verb = jnp.where(
             verb_n > 0,
-            (bithi >> (u32(32) - jnp.clip(verb_n, 1, 31).astype(u32))
+            (src_hi >> (u32(32) - jnp.clip(verb_n, 1, 31).astype(u32))
              ).astype(i32), 0)
+        # per-lane aligned probe key: X_DIST lanes use the shared
+        # find, fused lanes the fused-buffer find
+        keya = jnp.where(fuse, key3, key)
+        alnsym = jnp.max(jnp.where(alnkey[:] == keya[None], rio_aln,
+                                   -1), axis=0)
+        # select on i1 vectors doesn't lower — boolean algebra
+        aok = (fuse & ok3) | (~fuse & codelen_ok)
+        alen = jnp.where(fuse, len3, length)
         aln_bad = jnp.logical_and(d_aln,
-                                  jnp.logical_or(~codelen_ok,
-                                                 alnsym < 0))
+                                  jnp.logical_or(~aok, alnsym < 0))
         offs = pbase - 2 + jnp.where(d_aln, (verb << 3)
                                      + jnp.maximum(alnsym, 0),
                                      jnp.where(d_verb, verb, 0))
@@ -566,11 +688,13 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
         r0 = jnp.where(d_act & ~aln_bad, nr0, r0)
         r1 = jnp.where(d_act & ~aln_bad, nr1, r1)
         r2 = jnp.where(d_act & ~aln_bad, nr2, r2)
-        kd = verb_n + jnp.where(d_aln, length, 0)
-        k = k + jnp.where(d_act & ~aln_bad, kd, 0)
+        kd = verb_n + jnp.where(d_aln, alen, 0)
+        k = k + jnp.where(is_dist & ~aln_bad, kd, 0)
+        hi2, lo2, nav2 = consume(hi1, lo1, nav1,
+                                 jnp.where(fuse & ~aln_bad, kd, 0))
         def blrd(b):
             b = jnp.where(verb_n > 0, ensure_blr(b, verb_n) - verb_n, b)
-            b = jnp.where(d_aln, ensure_blr(b, 16) - length, b)
+            b = jnp.where(d_aln, ensure_blr(b, 16) - alen, b)
             return b
         blr = jnp.where(d_act & ~aln_bad, blrd(blr), blr)
         pendoff = jnp.where(d_act, offs, pendoff)
@@ -718,7 +842,13 @@ def _kernel(stream_hbm, outlen_ref, hist_ref, car_ref, st_in,
             new_mode)
 
         # ---------- consume ------------------------------------------
-        bithi, bitlo, navail = consume(bithi, bitlo, navail, k)
+        # fused-match lanes already consumed through the mid-refilled
+        # buffer; everyone else applies the accumulated k
+        bithi_n, bitlo_n, navail_n = consume(bithi, bitlo, navail, k)
+        bithi = jnp.where(fuse, hi2, bithi_n)
+        bitlo = jnp.where(fuse, lo2, bitlo_n)
+        navail = jnp.where(fuse, nav2, navail_n)
+        wpos = wpos + jnp.where(need_m & fuse, 1, 0)
 
         # ---------- periodic build event -----------------------------
         # gated on the SCALAR step counter only (jnp.any() vector
