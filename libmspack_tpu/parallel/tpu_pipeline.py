@@ -124,7 +124,8 @@ class TpuMszipEngine:
         # header+wait slack per deflate block (the round-4 kernel
         # fuses match length+distance into one step)
         t_need = max(sizes) // 2 + 1536 if sizes else 1536
-        t_pad = min(18432, ((t_need + 255) // 256) * 256)
+        # power-of-two buckets: batches share compiled kernels
+        t_pad = min(18432, max(2048, 1 << (t_need - 1).bit_length()))
         tok, litw, cnt = pa.inflate_phase_a(
             frames, hists=hists, SL=SL, LN=LN, T_PAD=t_pad,
             interpret=self.interpret)
@@ -277,8 +278,10 @@ class TpuLzxEngine:
         from ..ops import pallas_lzx as plx
 
         # literal-heavy streams need ~1 step/byte; typical streams
-        # ~0.2 — overruns flag errv=2 and the caller falls back
-        t_pad = max(sizes) // 2 + 4096
+        # ~0.2 — overruns flag errv=2 and the caller falls back.
+        # bucket to powers of two so batches share compiled kernels
+        t_need = max(sizes) // 2 + 4096
+        t_pad = max(4096, 1 << (t_need - 1).bit_length())
         tok, litw, cnt = plx.lzx_phase_a(
             streams, sizes, window_bits, T_PAD=t_pad,
             interpret=self.interpret)
@@ -442,7 +445,8 @@ class TpuQtmEngine:
         from .. import native
         from ..ops import pallas_qtm as pq
 
-        t_pad = max(sizes) * 2 + 2048
+        t_need = max(sizes) * 2 + 2048
+        t_pad = max(4096, 1 << (t_need - 1).bit_length())
         # interpreter-mode cost scales with the lane grid (no Mosaic
         # tiling constraint there) — shrink it for CPU test runs
         sl = 1 if (self.interpret and len(streams) <= 128) else SL

@@ -20,3 +20,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The suite compiles many interpreter-mode kernel variants; on a
+    2-vCPU host the accumulated executables can push the XLA CPU
+    compiler into a segfault late in the run. Dropping caches between
+    modules bounds the footprint."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
