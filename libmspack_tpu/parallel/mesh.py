@@ -178,9 +178,13 @@ def _expand_mszip_tokens(tok, litw, flen, N):
     b_off = pos - st
     lit_byte = b_off < nl
     litval = (ww >> (8 * jnp.clip(b_off, 0, 3))) & 0xFF
-    ptr = jnp.where(pos < H, pos,
+    # positions past the produced bytes have no covering token — they
+    # must self-point (garbage back-pointers there would flag the
+    # roots<0 validity check)
+    tot = H + jnp.sum(flen)
+    ptr = jnp.where((pos < H) | (pos >= tot), pos,
                     jnp.where(lit_byte, pos, pos - dist))
-    litv = jnp.where((pos >= H) & lit_byte, litval, 0)
+    litv = jnp.where((pos >= H) & lit_byte & (pos < tot), litval, 0)
     return ptr, litv
 
 
@@ -391,7 +395,7 @@ def decode_lzx_streams_sharded(mesh: Mesh, streams: list[bytes],
             T = t_pad
             tok = jnp.transpose(tok.reshape(T, 1024)[:, :Fl])  # (Fl,T)
             litw = jnp.transpose(litw.reshape(T, 1024)[:, :Fl])
-            cnt = cnt.reshape(8, 1024)
+            cnt = cnt.reshape(40, 1024)   # rows 8+ = exported carries
             vm = vmask[0, :Fl]
             errs = jnp.where(vm > 0, cnt[0, :Fl], 0)
             flen = jnp.where(vm > 0, cnt[1, :Fl], 0)
@@ -425,9 +429,13 @@ def decode_lzx_streams_sharded(mesh: Mesh, streams: list[bytes],
             lit_byte = b_off < nl
             litval = (ww >> (8 * jnp.clip(b_off, 0, 3))) & 0xFF
             in_pfx = (pos % stride) < WSIZE
-            ptr = jnp.where(in_pfx, pos,
+            # bytes past a lane's produced length self-point (no
+            # covering token — see _expand_mszip_tokens)
+            flen_b = jnp.take(flen, pos // stride)
+            covered = ((pos % stride) - WSIZE) < flen_b
+            ptr = jnp.where(in_pfx | ~covered, pos,
                             jnp.where(lit_byte, pos, pos - ww))
-            litv = jnp.where(~in_pfx & lit_byte, litval, 0)
+            litv = jnp.where(~in_pfx & lit_byte & covered, litval, 0)
             roots = _point_roots(ptr, N_loc)
             out = jnp.take(litv, jnp.clip(roots, 0, N_loc - 1))
             inv = jnp.logical_or(jnp.any(errs != 0),
