@@ -2,8 +2,10 @@
 
 Decodes up to LANES independent LZX streams (CAB folders from frame 0,
 CHM reset-interval chunks, OAB DELTA blocks — reference lzxd.c) in one
-kernel launch; each VPU lane owns one stream and decodes at most one
-Huffman symbol per step, emitting tokens into a (step, lane) trace.
+kernel launch; each VPU lane owns one stream and decodes up to two
+literal symbols OR one full match (main symbol + length symbol +
+distance, via a mid-step 64-bit buffer refill) per step, emitting
+tokens into a (step, lane) trace.
 Phase B resolves tokens into bytes (python replay here; native / device
 resolvers downstream). Same architecture as ops/pallas_inflate.py (see
 its docstring for the Mosaic layout rules this file follows: 3-D
@@ -30,6 +32,9 @@ oracle-verified against the reference):
   the `blr` carry (bits_left of readbits.h's lazy 16-bit fill).
 * Ring-window aliasing (offset > window on small windows) splits a
   match into two linear-history tokens, exactly like codecs/lzx.py.
+* Full entropy-state export/import (_state_layout + the carry rows of
+  the counts grid) lets a reset-interval-0 CAB folder of any size
+  segment across launches at 32 KiB frame boundaries.
 
 Token format (int32) per (step, lane), litw plane in parallel:
   -1                 NOP
