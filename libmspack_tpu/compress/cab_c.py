@@ -26,10 +26,14 @@ def _dos_datetime(y=2026, mo=8, d=17, h=12, mi=0, s=0) -> tuple[int, int]:
 
 class FolderSpec:
     def __init__(self, files: list[tuple[str, bytes]],
-                 compression: str = "mszip", window_bits: int = 16):
+                 compression: str = "mszip", window_bits: int = 16,
+                 intel_filesize: int = 0):
         self.files = files
         self.compression = compression
         self.window_bits = window_bits
+        # LZX only: write the intel E8 header (test surface for E8
+        # decode parity; the data is NOT forward-transformed)
+        self.intel_filesize = intel_filesize
 
 
 def _encode_folder_blocks(spec: FolderSpec) -> tuple[int, list[tuple[bytes, int]]]:
@@ -63,7 +67,12 @@ def _encode_folder_blocks(spec: FolderSpec) -> tuple[int, list[tuple[bytes, int]
         comp_type = 3 | (spec.window_bits << 8)
         if spec.compression == "lzx":
             # CAB LZX never resets (reference: cabd.c:1249-1250)
-            stream, offsets = lzx_e.compress(data, spec.window_bits)
+            if spec.intel_filesize:
+                stream, offsets = lzx_e.LzxEncoder(
+                    spec.window_bits,
+                    intel_filesize=spec.intel_filesize).compress(data)
+            else:
+                stream, offsets = lzx_e.compress(data, spec.window_bits)
         else:
             stream, offsets = lzx_c.compress_stored(data)
         for i, off in enumerate(offsets):

@@ -277,7 +277,7 @@ class LzxEncoder:
 
     def __init__(self, window_bits: int, reset_interval: int = 0,
                  is_delta: bool = False, max_chain: int = 64,
-                 block_frames: int = 32):
+                 block_frames: int = 32, intel_filesize: int = 0):
         lo, hi = (17, 25) if is_delta else (15, 21)
         if not (lo <= window_bits <= hi):
             raise ValueError("bad LZX window bits")
@@ -286,6 +286,12 @@ class LzxEncoder:
         self.window_size = 1 << window_bits
         self.reset_interval = reset_interval
         self.is_delta = is_delta
+        # nonzero: write the intel E8 header (lzxd.c:446-452 bit=1 +
+        # 32-bit filesize). NOTE: the encoder does NOT apply the forward
+        # E8 transform — decoders will "untransform" raw data, which is
+        # exactly what E8 decode-parity tests need (every engine must
+        # garble identically, pinned by the reference oracle).
+        self.intel_filesize = intel_filesize
         self.max_chain = max_chain
         self.num_slots = POSITION_SLOTS[window_bits - 15]
         self.num_offsets = self.num_slots << 3
@@ -439,7 +445,12 @@ class LzxEncoder:
                 patch = len(w.out)
                 w.write_bits(0, 16)
             if idx == 0 and first_of_chunk:
-                w.write_bits(0, 1)  # no intel E8 filesize
+                if self.intel_filesize:
+                    w.write_bits(1, 1)
+                    w.write_bits((self.intel_filesize >> 16) & 0xFFFF, 16)
+                    w.write_bits(self.intel_filesize & 0xFFFF, 16)
+                else:
+                    w.write_bits(0, 1)  # no intel E8 filesize
             return patch
 
         def frame_epilogue(patch):

@@ -217,6 +217,16 @@ class CabDecompressor:
         self._d: Optional[_DecompState] = None
         self._folder_cache: tuple | None = None  # (folder, bytes)
         self.last_error = 0
+        # why fast paths declined, {path_name: "ExcType: msg"} — silent
+        # TPU->native fallbacks stay observable (set MSPACK_TPU_STRICT=1
+        # to raise instead, for CI over the device paths)
+        self.fallback_reasons: dict[str, str] = {}
+
+    def _note_fallback(self, path: str, exc: Exception) -> None:
+        self.fallback_reasons[path] = f"{type(exc).__name__}: {exc}"
+        import os
+        if os.environ.get("MSPACK_TPU_STRICT"):
+            raise exc
 
     # -- parameters ------------------------------------------------------
 
@@ -820,7 +830,8 @@ class CabDecompressor:
                     interpret=jax.default_backend() == "cpu")
             outs = self._tpu_engine.decode_folders(
                 [([f[2:] for f in frames], sizes)])
-        except Exception:
+        except Exception as e:
+            self._note_fallback("mszip_tpu", e)
             return None
         if outs is None:
             return None
@@ -937,7 +948,8 @@ class CabDecompressor:
             stream = b"".join(b + b"\xff" for b in blocks)
             outs = self._tpu_qtm_engine.decode_streams(
                 [stream], [total], (fol.comp_type >> 8) & 0x1F)
-        except Exception:
+        except Exception as e:
+            self._note_fallback("qtm_tpu", e)
             return None
         if outs is None or outs[0] is None:
             return None
@@ -971,7 +983,8 @@ class CabDecompressor:
             outs = self._tpu_lzx_engine.decode_streams(
                 [b"".join(blocks)], [total],
                 (fol.comp_type >> 8) & 0x1F)
-        except Exception:
+        except Exception as e:
+            self._note_fallback("lzx_tpu", e)
             return None
         if outs is None or outs[0] is None:
             return None

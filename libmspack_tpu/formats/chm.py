@@ -190,6 +190,15 @@ class ChmDecompressor:
         self._sec1_cache: tuple | None = None  # (chm, bytes)
         self._tpu_lzx_engine = None  # lazy TpuLzxEngine (engine="tpu")
         self.last_error = 0
+        # why fast paths declined (observability for silent TPU->native
+        # fallbacks; MSPACK_TPU_STRICT=1 raises instead, for CI)
+        self.fallback_reasons: dict[str, str] = {}
+
+    def _note_fallback(self, path: str, exc: Exception) -> None:
+        self.fallback_reasons[path] = f"{type(exc).__name__}: {exc}"
+        import os
+        if os.environ.get("MSPACK_TPU_STRICT"):
+            raise exc
 
     # -- open ------------------------------------------------------------
 
@@ -706,7 +715,7 @@ class ChmDecompressor:
                 self._tpu_lzx_engine = TpuLzxEngine(
                     interpret=jax.default_backend() == "cpu")
             outs = self._tpu_lzx_engine.decode_streams(
-                chunks, sizes, window_bits)
+                chunks, sizes, window_bits, decline_on_intel=True)
             if outs is None or any(o is None for o in outs):
                 return None
             out = b"".join(outs)
@@ -716,7 +725,8 @@ class ChmDecompressor:
             return out
         except MSPackError:
             return None
-        except Exception:
+        except Exception as e:
+            self._note_fallback("chm_lzx_tpu", e)
             return None
 
     def _sec1_bytes_native(self, d: _DecompState) -> bytes | None:
@@ -740,9 +750,17 @@ class ChmDecompressor:
                 # (the ResetTable IS the parallel shard grid, SURVEY §2.4)
                 sizes = [min(reset_interval, length - i * reset_interval)
                          for i in range(len(reset_offsets))]
-                if not native.lzx_chunks_into(stream, reset_offsets,
-                                              window_bits, rframes, out,
-                                              sizes):
+                ok, intel = native.lzx_chunks_into(stream, reset_offsets,
+                                                   window_bits, rframes,
+                                                   out, sizes)
+                if ok and intel:
+                    # intel E8 curpos / frame counter / intel_started are
+                    # stream-global in the reference (lzxd.c:707-713);
+                    # chunk-local decode would diverge — redo sequentially
+                    ok = native.lzx_decode_into(stream, len(stream),
+                                                window_bits, rframes, out,
+                                                length)
+                if not ok:
                     return None
             elif not native.lzx_decode_into(stream, len(stream),
                                             window_bits, rframes, out,

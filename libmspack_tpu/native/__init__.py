@@ -52,6 +52,7 @@ def lib():
         _lib.msp_mszip_folders.restype = ctypes.c_int
         _lib.msp_lzss.restype = ctypes.c_int64
         _lib.msp_lzx_decode.restype = ctypes.c_int
+        _lib.msp_lzx_decode_ex.restype = ctypes.c_int
         _lib.msp_lzx_many.restype = ctypes.c_int
         _lib.msp_lzx_encode.restype = ctypes.c_int64
         _lib.msp_lzx_encode_many.restype = ctypes.c_int
@@ -266,11 +267,17 @@ def lzx_decode(stream: bytes, window_bits: int, reset_interval: int,
 
 def lzx_chunks_into(stream, chunk_offsets: list[int], window_bits: int,
                     reset_frames: int, out, chunk_out_lens: list[int],
-                    n_threads: int | None = None) -> bool:
+                    n_threads: int | None = None) -> tuple[bool, bool]:
     """Decode the independent reset-interval chunks of one LZX stream in
     parallel (the CHM ResetTable / checkpoint grid, SURVEY §2.4):
     chunk i is stream[chunk_offsets[i]:chunk_offsets[i+1]] and decodes
-    standalone because LZX state fully resets at reset points."""
+    standalone because LZX state fully resets at reset points.
+
+    Returns (ok, intel_fired). intel_fired means a chunk saw an intel
+    E8 header with nonzero filesize AND a chunk set intel_started —
+    state the reference keeps stream-global (lzxd.c:707-713) — so the
+    caller MUST redo the stream sequentially (lzx_decode_into) for
+    bit-exact output; chunk outputs are pre-E8 bytes in that case."""
     import numpy as np
     L = lib()
     n = len(chunk_offsets)
@@ -284,7 +291,7 @@ def lzx_chunks_into(stream, chunk_offsets: list[int], window_bits: int,
     for i, off in enumerate(chunk_offsets):
         end = chunk_offsets[i + 1] if i + 1 < n else total_len
         if not (0 <= off <= end <= total_len):
-            return False
+            return False, False
         ptrs[i] = ctypes.cast(ctypes.c_void_p(base + off), P)
         slens[i] = end - off
     wbs = (ctypes.c_int * n)(*([window_bits] * n))
@@ -297,11 +304,17 @@ def lzx_chunks_into(stream, chunk_offsets: list[int], window_bits: int,
         acc += ol
     ooffs[n] = acc
     if acc > out.nbytes:
-        return False
+        return False, False
+    intel = (ctypes.c_int32 * (2 * n))()
     r = L.msp_lzx_many(
         ctypes.cast(ptrs, ctypes.POINTER(P)), slens, wbs, ris, olens,
-        n, out.ctypes.data_as(P), ooffs, n_threads or default_threads())
-    return r == 0
+        n, out.ctypes.data_as(P), ooffs, n_threads or default_threads(),
+        intel)
+    if r != 0:
+        return False, False
+    started = any(intel[2 * i] for i in range(n))
+    has_fsz = any(intel[2 * i + 1] for i in range(n))
+    return True, started and has_fsz
 
 
 def cab_pipeline(cab, data_offsets: list[int], nblocks: list[int],

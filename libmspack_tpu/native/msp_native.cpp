@@ -518,6 +518,17 @@ struct Decoder {
   int32_t intel_filesize = 0;
   bool intel_started = false;
   int num_offsets;
+  // E8 bookkeeping: the reference untransforms each frame into a
+  // SEPARATE buffer (lzxd.c:706-733 copies window->e8_buf), so match
+  // sources always see PRE-transform bytes. This flat-buffer decoder
+  // (where `out` doubles as the match window) therefore defers E8 to
+  // one exact post-pass over the finished output (apply_e8), replaying
+  // the per-reset-interval intel_filesize values and the frame at
+  // which intel_started first fired.
+  int64_t e8_base = 0;          // absolute output offset of stream start
+  bool e8_defer = false;        // caller applies E8 itself (chunk grids)
+  int64_t first_e8_frame = -1;  // local frame where intel_started fired
+  std::vector<std::pair<int64_t, int32_t>> ifsz_log;  // (frame, filesize)
 
   void reset_state() {
     R0 = R1 = R2 = 1;
@@ -576,6 +587,7 @@ struct Decoder {
         if (i) { j = b.get(16); k = b.get(16); }
         intel_filesize = (int32_t)((j << 16) | k);
         header_read = true;
+        ifsz_log.emplace_back(frame, intel_filesize);
       }
       int64_t frame_size = kFrame;
       if (output_length && output_length - pos < frame_size)
@@ -603,7 +615,10 @@ struct Decoder {
             if ((r = read_lens(b, maintree_len, 256, 256 + num_offsets)))
               return r;
             if (!maintree.build(maintree_len, kMaxMainSyms)) return 35;
-            if (maintree_len[0xE8]) intel_started = true;
+            if (maintree_len[0xE8] && !intel_started) {
+              intel_started = true;
+              first_e8_frame = frame;
+            }
             if ((r = read_lens(b, length_len, 0, 249))) return r;
             length_empty = !lengtht.build(length_len, kLengthSyms);
             if (length_empty) {
@@ -611,7 +626,10 @@ struct Decoder {
                 if (length_len[k]) return 36;  // invalid, not just empty
             }
           } else if (block_type == 3) {
-            intel_started = true;
+            if (!intel_started) {
+              intel_started = true;
+              first_e8_frame = frame;
+            }
             if (b.n == 0) b.fill();
             b.n = 0;
             b.buf = 0;
@@ -734,36 +752,50 @@ struct Decoder {
         // keep frame accounting exact
       }
       b.align16();
-
-      // E8 decode on the completed frame
-      int64_t fstart = frame * kFrame;
-      int64_t flen = pos - fstart;
-      if (intel_started && intel_filesize && frame < 32768 && flen > 10) {
-        uint8_t* data = out + fstart;
-        int64_t i = 0, dataend = flen - 10;
-        int32_t curpos = (int32_t)fstart;
-        while (i < dataend) {
-          if (data[i] != 0xE8) { i++; curpos++; continue; }
-          i++;
-          int32_t abs_off = (int32_t)((uint32_t)data[i] |
-                                      ((uint32_t)data[i + 1] << 8) |
-                                      ((uint32_t)data[i + 2] << 16) |
-                                      ((uint32_t)data[i + 3] << 24));
-          if (abs_off >= -curpos && abs_off < intel_filesize) {
-            uint32_t rel = (uint32_t)(abs_off >= 0 ? abs_off - curpos
-                                                   : abs_off + intel_filesize);
-            data[i] = (uint8_t)rel;
-            data[i + 1] = (uint8_t)(rel >> 8);
-            data[i + 2] = (uint8_t)(rel >> 16);
-            data[i + 3] = (uint8_t)(rel >> 24);
-          }
-          i += 4;
-          curpos += 5;
-        }
-      }
       frame++;
     }
+    if (!e8_defer) apply_e8(out, todo);
     return 0;
+  }
+
+  // Exact deferred E8 pass (see the field comment above): per 32 KiB
+  // frame, with the per-reset-interval intel_filesize that was current
+  // when the frame decoded, skipping frames before intel_started fired
+  // (those can only contain 0xE8 bytes via DELTA reference data, which
+  // the reference likewise leaves untransformed until started fires).
+  void apply_e8(uint8_t* out, int64_t total) {
+    if (!intel_started || first_e8_frame < 0) return;
+    size_t li = 0;
+    int32_t fsz = 0;
+    for (int64_t f = 0, fstart = 0; fstart < total; f++, fstart += kFrame) {
+      while (li < ifsz_log.size() && ifsz_log[li].first <= f)
+        fsz = ifsz_log[li++].second;
+      int64_t flen = total - fstart < kFrame ? total - fstart : kFrame;
+      int64_t gframe = (e8_base >> 15) + f;
+      if (f < first_e8_frame || !fsz || gframe >= 32768 || flen <= 10)
+        continue;
+      uint8_t* data = out + fstart;
+      int64_t i = 0, dataend = flen - 10;
+      int32_t curpos = (int32_t)(e8_base + fstart);
+      while (i < dataend) {
+        if (data[i] != 0xE8) { i++; curpos++; continue; }
+        i++;
+        int32_t abs_off = (int32_t)((uint32_t)data[i] |
+                                    ((uint32_t)data[i + 1] << 8) |
+                                    ((uint32_t)data[i + 2] << 16) |
+                                    ((uint32_t)data[i + 3] << 24));
+        if (abs_off >= -curpos && abs_off < fsz) {
+          uint32_t rel = (uint32_t)(abs_off >= 0 ? abs_off - curpos
+                                                 : abs_off + fsz);
+          data[i] = (uint8_t)rel;
+          data[i + 1] = (uint8_t)(rel >> 8);
+          data[i + 2] = (uint8_t)(rel >> 16);
+          data[i + 3] = (uint8_t)(rel >> 24);
+        }
+        i += 4;
+        curpos += 5;
+      }
+    }
   }
 };
 
@@ -2554,11 +2586,15 @@ int msp_mszip_tokenize_only(const uint8_t* const* frames,
 
 // Decode one LZX stream (whole folder / CHM chunk) into a flat buffer.
 // Returns 0 on success. matches into DELTA reference data supported.
-int msp_lzx_decode(const uint8_t* stream, uint64_t stream_len,
-                   int window_bits, int reset_interval_frames,
-                   int64_t output_length, int is_delta,
-                   const uint8_t* ref_data, uint32_t ref_len,
-                   uint8_t* out, uint64_t out_cap) {
+// e8_defer != 0 skips the E8 untransform (chunk-grid callers apply it
+// themselves, or decline); intel_out (if non-null) receives
+// {intel_started, last nonzero intel_filesize}.
+int msp_lzx_decode_ex(const uint8_t* stream, uint64_t stream_len,
+                      int window_bits, int reset_interval_frames,
+                      int64_t output_length, int is_delta,
+                      const uint8_t* ref_data, uint32_t ref_len,
+                      uint8_t* out, uint64_t out_cap,
+                      int64_t e8_base, int e8_defer, int32_t* intel_out) {
   if (is_delta ? (window_bits < 17 || window_bits > 25)
                : (window_bits < 15 || window_bits > 21))
     return 60;
@@ -2572,26 +2608,59 @@ int msp_lzx_decode(const uint8_t* stream, uint64_t stream_len,
   d.ref_data = ref_data;
   d.ref_len = ref_len;
   d.num_offsets = (int)lzx::kPosSlots[window_bits - 15] << 3;
+  d.e8_base = e8_base;
+  d.e8_defer = e8_defer != 0;
   d.reset_state();
   lzx::MsbBits b(stream, stream_len);
-  return d.run(b, out, output_length);
+  int r = d.run(b, out, output_length);
+  if (intel_out) {
+    intel_out[0] = d.intel_started ? 1 : 0;
+    int32_t anyfsz = 0;
+    for (auto& p : d.ifsz_log)
+      if (p.second) anyfsz = p.second;
+    intel_out[1] = anyfsz;
+  }
+  return r;
+}
+
+int msp_lzx_decode(const uint8_t* stream, uint64_t stream_len,
+                   int window_bits, int reset_interval_frames,
+                   int64_t output_length, int is_delta,
+                   const uint8_t* ref_data, uint32_t ref_len,
+                   uint8_t* out, uint64_t out_cap) {
+  return msp_lzx_decode_ex(stream, stream_len, window_bits,
+                           reset_interval_frames, output_length, is_delta,
+                           ref_data, ref_len, out, out_cap, 0, 0, nullptr);
 }
 
 // Decode many LZX streams concurrently (one thread per stream).
+// E8 is DEFERRED in every chunk: outputs are pre-transform bytes, and
+// intel_out[2*i..2*i+1] reports {started, filesize} per chunk. A caller
+// whose chunks are slices of ONE sequential stream (CHM reset grid)
+// must fall back to a whole-stream decode when any chunk reports intel
+// activity, because intel_started / curpos / the frame counter are
+// stream-global in the reference (lzxd.c:707-713) while chunks decode
+// with local state. For valid real-world content E8 never fires in
+// chunked sections (the reference's own ResetTable random access,
+// chmd.c:1180-1184, restarts lzxd state and would self-disagree).
 int msp_lzx_many(const uint8_t* const* streams, const uint64_t* stream_lens,
                  const int* window_bits, const int* reset_intervals,
                  const int64_t* out_lens, int n, uint8_t* out,
-                 const int64_t* out_offsets, int n_threads) {
+                 const int64_t* out_offsets, int n_threads,
+                 int32_t* intel_out) {
   std::atomic<int> next(0);
   std::atomic<int> err(0);
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      int r = msp_lzx_decode(streams[i], stream_lens[i], window_bits[i],
-                             reset_intervals[i], out_lens[i], 0, nullptr, 0,
-                             out + out_offsets[i],
-                             (uint64_t)(out_offsets[i + 1] - out_offsets[i]));
+      int r = msp_lzx_decode_ex(streams[i], stream_lens[i], window_bits[i],
+                                reset_intervals[i], out_lens[i], 0, nullptr,
+                                0, out + out_offsets[i],
+                                (uint64_t)(out_offsets[i + 1] -
+                                           out_offsets[i]),
+                                0, /*e8_defer=*/1,
+                                intel_out ? intel_out + 2 * i : nullptr);
       if (r) err.store(r);
     }
   };

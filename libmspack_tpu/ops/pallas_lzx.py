@@ -1302,7 +1302,8 @@ def bench_entry(n_lanes=256, chunk_kb=64, window_bits=16):
     BENCH_KERNELS.json entry dict."""
     import time
     from ..compress.lzx_e import LzxEncoder
-    base = open("/root/reference/libmspack/mspack/lzxd.c", "rb").read()
+    from ..utils import bench_corpus
+    base = bench_corpus(1 << 20)
     base = base * (1 + (chunk_kb * 1024 * n_lanes) // len(base))
     datas, streams = [], []
     for i in range(n_lanes):

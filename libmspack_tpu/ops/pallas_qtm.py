@@ -825,7 +825,8 @@ def bench_entry(n_lanes=256, chunk_kb=24, window_bits=15):
     import jax.numpy as jnp
 
     from ..compress import qtm_e
-    base = open("/root/reference/libmspack/mspack/qtmd.c", "rb").read()
+    from ..utils import bench_corpus
+    base = bench_corpus(1 << 20)
     base = base * (1 + (chunk_kb * 1024 * n_lanes) // len(base))
     datas, streams = [], []
     for i in range(n_lanes):

@@ -268,7 +268,8 @@ def bench_entry(n_frames=256):
 
     from . import pallas_inflate as pa
 
-    base = open("/root/reference/libmspack/mspack/lzxd.c", "rb").read()
+    from ..utils import bench_corpus
+    base = bench_corpus(1 << 20)
     base = base * (1 + (32768 * n_frames) // len(base))
     frames, raws = [], []
     for i in range(n_frames):

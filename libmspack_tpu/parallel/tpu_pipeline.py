@@ -232,11 +232,20 @@ class TpuLzxEngine:
         self.interpret = interpret
         self.n_decoded = 0   # streams decoded via the kernel path
         self._timings = {}
+        self._decline_on_intel = False
 
     def decode_streams(self, streams, out_lens, window_bits,
-                       n_threads=None):
+                       n_threads=None, decline_on_intel=False):
         """streams: list of bytes; out_lens: decompressed sizes.
-        Returns list of per-stream bytes, or None to fall back."""
+        Returns list of per-stream bytes, or None to fall back.
+
+        decline_on_intel: callers whose streams are reset-interval
+        chunks of ONE sequential stream (CHM section 1) must set this —
+        intel E8 curpos / frame counter / intel_started are
+        stream-global in the reference (lzxd.c:707-713), so chunk-local
+        E8 would diverge; we fall back to the sequential host engine
+        instead (real-world chunked sections never use E8: the
+        reference's own ResetTable random access restarts that state)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -247,6 +256,7 @@ class TpuLzxEngine:
             return []
         if not native.available():
             return None
+        self._decline_on_intel = decline_on_intel
         outs = [None] * len(streams)
         order = list(range(len(streams)))
         for b0 in range(0, len(order), LANES):
@@ -292,6 +302,11 @@ class TpuLzxEngine:
         if not np.array_equal(cnth[1, :n], np.asarray(sizes)):
             return False
         tstop = int(cnth[2, :n].max()) + 1
+        iflags = [int(cnth[4, i]) for i in range(n)]
+        ifszs = [int(cnth[5, i]) for i in range(n)]
+        if (getattr(self, "_decline_on_intel", False)
+                and any(iflags) and any(ifszs)):
+            return False
         tokT = np.ascontiguousarray(
             np.asarray(jnp.transpose(tok[:tstop])), dtype=np.int32)[:n]
         litT = np.ascontiguousarray(
@@ -300,8 +315,6 @@ class TpuLzxEngine:
         for s in sizes:
             offs.append(offs[-1] + s)
         arena = np.empty(offs[-1], np.uint8)
-        iflags = [int(cnth[4, i]) for i in range(n)]
-        ifszs = [int(cnth[5, i]) for i in range(n)]
         r = native.lzx_resolve_traces(tokT, litT, sizes, iflags, ifszs,
                                       window_bits, arena, offs,
                                       n_threads)
@@ -393,6 +406,8 @@ class TpuLzxEngine:
             wpos = cnth[3, :n]
             rem = [rem[i][4 * int(wpos[i]):] for i in range(n)]
             resume = (cnth, np.asarray(st))
+        if self._decline_on_intel and any(iflag) and any(ifsz):
+            return False
         for j, i in enumerate(idxs):
             blob = np.frombuffer(bytes(parts[j]), np.uint8).copy()
             if iflag[j] and ifsz[j]:
