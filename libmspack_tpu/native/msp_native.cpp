@@ -2300,6 +2300,9 @@ int msp_resolve_trace(const int32_t* tok, const int32_t* litw, int64_t T,
       if (v & 0x20000000) {
         uint32_t n = (uint32_t)(v & 7);
         uint32_t w = (uint32_t)lw[t];
+        // token contract: a literal word carries 1..4 bytes (n > 4
+        // would shift w past 32 bits — reject malformed traces)
+        if (n > 4) return 24;
         if (pos + n > target) return 22;
         for (uint32_t i = 0; i < n; i++) {
           out[pos++] = (uint8_t)(w >> (8 * i));
@@ -2425,6 +2428,9 @@ int msp_lzx_resolve_trace(const int32_t* tok, const int32_t* litw,
     if (v & 0x20000000) {
       uint32_t n = (uint32_t)(v & 7);
       uint32_t w = (uint32_t)lw[t];
+      // token contract: a literal word carries 1..4 bytes (n > 4
+      // would shift w past 32 bits — reject malformed traces)
+      if (n > 4) return 24;
       if (pos + n > target) return 22;
       for (uint32_t i = 0; i < n; i++) {
         work[pos++] = (uint8_t)(w >> (8 * i));

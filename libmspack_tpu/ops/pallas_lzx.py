@@ -1296,12 +1296,29 @@ def e8_decode(data, intel_filesize, frame0_offset=0):
     return bytes(out)
 
 
-def bench_entry(n_lanes=256, chunk_kb=64, window_bits=16):
+def _encode_for_bench(data, window_bits):
+    """Native encoder when available (the pure-python encoder would
+    dominate bench prep at 1024 lanes)."""
+    try:
+        from .. import native
+        r = native.lzx_encode(data, window_bits, 0)
+        if r is not None:
+            return r[0]
+    except Exception:
+        pass
+    from ..compress.lzx_e import LzxEncoder
+    return LzxEncoder(window_bits).compress(data)[0]
+
+
+def bench_entry(n_lanes=1024, chunk_kb=64, window_bits=16):
     """Chip benchmark: n_lanes independent LZX chunks (CHM-style
     reset-interval grids) decoded in one launch. Returns a
-    BENCH_KERNELS.json entry dict."""
+    BENCH_KERNELS.json entry dict.
+
+    The kernel always computes (8, 128)-wide vectors, so throughput is
+    proportional to lane occupancy: benchmark at the full 1024 lanes
+    the product engines batch to (tpu_pipeline LANES)."""
     import time
-    from ..compress.lzx_e import LzxEncoder
     from ..utils import bench_corpus
     base = bench_corpus(1 << 20)
     base = base * (1 + (chunk_kb * 1024 * n_lanes) // len(base))
@@ -1309,7 +1326,7 @@ def bench_entry(n_lanes=256, chunk_kb=64, window_bits=16):
     for i in range(n_lanes):
         d = base[i * chunk_kb * 1024:(i + 1) * chunk_kb * 1024]
         datas.append(d)
-        streams.append(LzxEncoder(window_bits).compress(d)[0])
+        streams.append(_encode_for_bench(d, window_bits))
     out_lens = [len(d) for d in datas]
     t_pad = chunk_kb * 1024 + 4096
     tok, litw, cnt = lzx_phase_a(streams, out_lens, window_bits,

@@ -817,14 +817,30 @@ def replay_trace(tok_col, litw_col, out_len, window_bits):
     return bytes(out[base:base + out_len])
 
 
-def bench_entry(n_lanes=256, chunk_kb=24, window_bits=15):
+def _encode_for_bench(data, window_bits):
+    """Native Quantum encoder when available (python fallback)."""
+    try:
+        from .. import native
+        frames = native.qtm_encode(data, window_bits)
+        if frames is not None:
+            return b"".join(p + b"\xff" for p in frames)
+    except Exception:
+        pass
+    from ..compress import qtm_e
+    return b"".join(p + b"\xff" for p in qtm_e.compress(data, window_bits))
+
+
+def bench_entry(n_lanes=1024, chunk_kb=24, window_bits=15):
     """Chip benchmark: n_lanes independent Quantum folder streams
-    decoded in one launch. Returns a BENCH_KERNELS.json entry."""
+    decoded in one launch. Returns a BENCH_KERNELS.json entry.
+
+    The kernel always computes (8, 128)-wide vectors, so throughput is
+    proportional to lane occupancy: benchmark at the full 1024 lanes
+    the product engines batch to (tpu_pipeline LANES)."""
     import time
 
     import jax.numpy as jnp
 
-    from ..compress import qtm_e
     from ..utils import bench_corpus
     base = bench_corpus(1 << 20)
     base = base * (1 + (chunk_kb * 1024 * n_lanes) // len(base))
@@ -832,8 +848,7 @@ def bench_entry(n_lanes=256, chunk_kb=24, window_bits=15):
     for i in range(n_lanes):
         d = base[i * chunk_kb * 1024:(i + 1) * chunk_kb * 1024]
         datas.append(d)
-        frames = qtm_e.compress(d, window_bits)
-        streams.append(b"".join(p + b"\xff" for p in frames))
+        streams.append(_encode_for_bench(d, window_bits))
     out_lens = [len(d) for d in datas]
     t_pad = ((max(out_lens) * 2 + 2048 + CHUNK - 1) // CHUNK) * CHUNK
     tok, litw, cnt = qtm_phase_a(streams, out_lens, window_bits,

@@ -69,9 +69,21 @@ class TpuMszipEngine:
 
         t0 = time.perf_counter()
         failed = set()
+        # double-buffered pipeline: JAX dispatch is async, so batch
+        # k+1's host pack + upload + kernel run overlap batch k's
+        # trace pull + host resolve (the first np.asarray on batch k
+        # blocks only on batch k's work). Depth 2 bounds device trace
+        # memory to two (T_PAD, L) grids.
+        inflight = []
         for batch in batches:
-            self._run_batch(batch, folders, out, out_offsets, failed,
-                            n_threads)
+            inflight.append((batch, self._launch_batch(batch)))
+            if len(inflight) > 1:
+                b, h = inflight.pop(0)
+                self._finish_batch(b, h, folders, out, out_offsets,
+                                   failed, n_threads)
+        for b, h in inflight:
+            self._finish_batch(b, h, folders, out, out_offsets,
+                               failed, n_threads)
         self._timings["total"] = time.perf_counter() - t0
 
         # host fallback for failed folders
@@ -107,16 +119,12 @@ class TpuMszipEngine:
             batches.append(cur)
         return batches
 
-    def _run_batch(self, batch, folders, out, out_offsets, failed,
-                   n_threads):
-        import jax
-        import jax.numpy as jnp
-        from .. import native
+    def _launch_batch(self, batch):
+        """Dispatch phase A for one batch (async; nothing blocks)."""
         from ..ops import pallas_inflate as pa
 
         if len(batch) > LANES:
-            failed.update(j[0] for j in batch)
-            return
+            return None
         frames = [j[2] for j in batch]
         hists = [j[3] for j in batch]
         sizes = [j[4] for j in batch]
@@ -129,6 +137,18 @@ class TpuMszipEngine:
         tok, litw, cnt = pa.inflate_phase_a(
             frames, hists=hists, SL=SL, LN=LN, T_PAD=t_pad,
             interpret=self.interpret)
+        return tok, litw, cnt, sizes
+
+    def _finish_batch(self, batch, handle, folders, out, out_offsets,
+                      failed, n_threads):
+        import jax
+        import jax.numpy as jnp
+        from .. import native
+
+        if handle is None:
+            failed.update(j[0] for j in batch)
+            return
+        tok, litw, cnt, sizes = handle
         cnth = np.asarray(cnt)
         n = len(batch)
         errs = cnth[0, :n]
@@ -259,32 +279,47 @@ class TpuLzxEngine:
         self._decline_on_intel = decline_on_intel
         outs = [None] * len(streams)
         order = list(range(len(streams)))
+        # double-buffered pipeline over lane batches: JAX dispatch is
+        # async, so batch k+1's pack + upload + kernel overlap batch
+        # k's trace pull + native resolve (segmented batches are
+        # inherently synchronous and flush the pipeline first)
+        inflight = []
+
+        def drain_one():
+            sts, szs, ixs, h = inflight.pop(0)
+            return self._finish_batch(sts, szs, window_bits, ixs, outs,
+                                      n_threads, h)
+
         for b0 in range(0, len(order), LANES):
             idxs = order[b0:b0 + LANES]
             batch_streams = [streams[i] for i in idxs]
             batch_lens = [out_lens[i] for i in idxs]
             if max(batch_lens) > LZX_TPU_MAX_CHUNK:
+                while inflight:
+                    if not drain_one():
+                        return None
                 if self.interpret:
                     # multi-launch interpret runs are pathologically
                     # slow; CPU test runs take the host engine
                     return None
-                ok = self._decode_segmented(batch_streams, batch_lens,
-                                            window_bits, idxs, outs,
-                                            n_threads)
-            else:
-                ok = self._run_batch(batch_streams, batch_lens,
-                                     window_bits, idxs, outs,
-                                     n_threads)
-            if not ok:
+                if not self._decode_segmented(batch_streams, batch_lens,
+                                              window_bits, idxs, outs,
+                                              n_threads):
+                    return None
+                continue
+            inflight.append((batch_streams, batch_lens, idxs,
+                             self._launch_batch(batch_streams,
+                                                batch_lens,
+                                                window_bits)))
+            if len(inflight) > 1 and not drain_one():
+                return None
+        while inflight:
+            if not drain_one():
                 return None
         return outs
 
-    def _run_batch(self, streams, sizes, window_bits, idxs, outs,
-                   n_threads):
-        import jax.numpy as jnp
-        import numpy as np
-
-        from .. import native
+    def _launch_batch(self, streams, sizes, window_bits):
+        """Dispatch phase A for one batch (async; nothing blocks)."""
         from ..ops import pallas_lzx as plx
 
         # literal-heavy streams need ~1 step/byte; typical streams
@@ -292,9 +327,17 @@ class TpuLzxEngine:
         # bucket to powers of two so batches share compiled kernels
         t_need = max(sizes) // 2 + 4096
         t_pad = max(4096, 1 << (t_need - 1).bit_length())
-        tok, litw, cnt = plx.lzx_phase_a(
-            streams, sizes, window_bits, T_PAD=t_pad,
-            interpret=self.interpret)
+        return plx.lzx_phase_a(streams, sizes, window_bits,
+                               T_PAD=t_pad, interpret=self.interpret)
+
+    def _finish_batch(self, streams, sizes, window_bits, idxs, outs,
+                      n_threads, handle):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .. import native
+
+        tok, litw, cnt = handle
         cnth = np.asarray(cnt)
         n = len(streams)
         if (cnth[0, :n] != 0).any():
@@ -444,20 +487,27 @@ class TpuQtmEngine:
         if max(out_lens) > LZX_TPU_MAX_CHUNK:
             return None
         outs = [None] * len(streams)
+        # double-buffered pipeline (see TpuLzxEngine.decode_streams)
+        inflight = []
         for b0 in range(0, len(streams), LANES):
             idxs = list(range(b0, min(b0 + LANES, len(streams))))
-            if not self._run_batch([streams[i] for i in idxs],
-                                   [out_lens[i] for i in idxs],
-                                   window_bits, idxs, outs, n_threads):
+            sts = [streams[i] for i in idxs]
+            szs = [out_lens[i] for i in idxs]
+            inflight.append((sts, szs, idxs,
+                             self._launch_batch(sts, szs, window_bits)))
+            if len(inflight) > 1:
+                a = inflight.pop(0)
+                if not self._finish_batch(a[0], a[1], window_bits,
+                                          a[2], outs, n_threads, a[3]):
+                    return None
+        for a in inflight:
+            if not self._finish_batch(a[0], a[1], window_bits, a[2],
+                                      outs, n_threads, a[3]):
                 return None
         return outs
 
-    def _run_batch(self, streams, sizes, window_bits, idxs, outs,
-                   n_threads):
-        import jax.numpy as jnp
-        import numpy as np
-
-        from .. import native
+    def _launch_batch(self, streams, sizes, window_bits):
+        """Dispatch phase A for one batch (async; nothing blocks)."""
         from ..ops import pallas_qtm as pq
 
         t_need = max(sizes) * 2 + 2048
@@ -465,9 +515,17 @@ class TpuQtmEngine:
         # interpreter-mode cost scales with the lane grid (no Mosaic
         # tiling constraint there) — shrink it for CPU test runs
         sl = 1 if (self.interpret and len(streams) <= 128) else SL
-        tok, litw, cnt = pq.qtm_phase_a(
-            streams, sizes, window_bits, SL=sl, T_PAD=t_pad,
-            interpret=self.interpret)
+        return pq.qtm_phase_a(streams, sizes, window_bits, SL=sl,
+                              T_PAD=t_pad, interpret=self.interpret)
+
+    def _finish_batch(self, streams, sizes, window_bits, idxs, outs,
+                      n_threads, handle):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .. import native
+
+        tok, litw, cnt = handle
         cnth = np.asarray(cnt)
         n = len(streams)
         if (cnth[0, :n] != 0).any():

@@ -23,7 +23,8 @@ def bench_inflate_phase_a(n=1024, kb=32):
     import jax.numpy as jnp
 
     from libmspack_tpu.ops import pallas_inflate as pa
-    base = open("/root/reference/libmspack/mspack/lzxd.c", "rb").read()
+    from libmspack_tpu.utils import bench_corpus
+    base = bench_corpus(1 << 20)
     base = base * (1 + (kb * 1024 * n) // len(base))
     frames, raws = [], []
     for i in range(n):
