@@ -929,8 +929,7 @@ class CabDecompressor:
         if self._folder_cache is not None and self._folder_cache[0] is fol:
             return self._folder_cache[1]
         try:
-            from ..parallel.tpu_pipeline import (LZX_TPU_MAX_CHUNK,
-                                                 TpuQtmEngine)
+            from ..parallel.tpu_pipeline import TpuQtmEngine
         except Exception:
             return None
         collected = self.collect_raw_blocks(fol)
@@ -938,8 +937,6 @@ class CabDecompressor:
             return None
         blocks, sizes = collected
         total = sum(sizes)
-        if total > LZX_TPU_MAX_CHUNK:
-            return None
         try:
             if self._tpu_qtm_engine is None:
                 import jax

@@ -644,6 +644,42 @@ class ChmDecompressor:
         stream = d.insrc.read(sec.content.length)
         return stream, window_bits, reset_interval, reset_offsets, length
 
+    def sec1_chunk_plan(self, chm: ChmHeader):
+        """Section 1 as independent reset-interval chunks, for
+        external shard engines (parallel/mesh.decode_chm_sharded).
+        The ResetTable IS the shard grid (chmd.c:1147-1175). Returns
+        (chunks, sizes, window_bits) or None when no usable grid
+        exists. Chunk-parallel callers must decline when intel E8
+        fires (stream-global state, lzxd.c:707-713)."""
+        d = _DecompState()
+        d.chm = chm
+        d.insrc = chm.open_stream()
+        try:
+            plan = self._sec1_plan(d)
+            if plan is None:
+                return None
+            (stream, window_bits, reset_interval, reset_offsets,
+             length) = plan
+            if not reset_offsets:
+                if length > reset_interval:
+                    return None
+                reset_offsets = [0]
+            chunks, sizes = [], []
+            for i, off in enumerate(reset_offsets):
+                end = (reset_offsets[i + 1]
+                       if i + 1 < len(reset_offsets) else len(stream))
+                size = min(reset_interval, length - i * reset_interval)
+                if size <= 0:
+                    break
+                chunks.append(stream[off:end])
+                sizes.append(size)
+            return chunks, sizes, window_bits
+        except MSPackError:
+            return None
+        finally:
+            if hasattr(d.insrc, "close"):
+                d.insrc.close()
+
     def _sec1_bytes_device(self, d: _DecompState) -> bytes | None:
         """Whole-section decode on device (ops/lzx_jax): the ResetTable
         offsets shard the stream into independent LZX chunks, each a

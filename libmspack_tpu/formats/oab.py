@@ -140,6 +140,23 @@ class OabDecompressor:
 
     def _decode_block(self, src, sink, csize: int, dsize: int, crc: int,
                       window_bits: int, ref_data: bytes | None) -> None:
+        if self.engine == "tpu":
+            # whole-block decode through the Pallas LZX lane kernel
+            # (DELTA reference data preloaded at the window tail,
+            # lzxd.c:348-382); blocks the kernel declines (window >
+            # 2^18, intel E8 with DELTA refs, oversize) fall through
+            stream = src.read(csize)
+            out = None
+            if len(stream) == csize:
+                out = self._decode_block_tpu(stream, dsize,
+                                             window_bits, ref_data)
+            if out is not None:
+                if self._crc_tpu(out) != crc:
+                    raise ChecksumError("OAB block CRC mismatch")
+                sink.write(out)
+                return
+            # TPU path declined: re-feed the bytes onward
+            src = open_source(stream)
         if self.engine == "jax":
             # whole-block LZX DELTA decode on device (ops/lzx_jax)
             stream = src.read(csize)
@@ -204,6 +221,43 @@ class OabDecompressor:
 
         if crc_state["crc"] != crc:
             raise ChecksumError("OAB block CRC mismatch")
+
+    def _decode_block_tpu(self, stream, dsize, window_bits, ref_data):
+        try:
+            import jax
+
+            from ..parallel.tpu_pipeline import TpuLzxEngine
+            if getattr(self, "_tpu_lzx_engine", None) is None:
+                self._tpu_lzx_engine = TpuLzxEngine(
+                    interpret=jax.default_backend() == "cpu")
+            outs = self._tpu_lzx_engine.decode_streams(
+                [stream], [dsize], window_bits, is_delta=True,
+                refs=[ref_data or b""])
+            if outs is None or outs[0] is None:
+                return None
+            return outs[0]
+        except Exception as e:
+            self.fallback_reasons = getattr(self, "fallback_reasons",
+                                            {})
+            self.fallback_reasons["oab_lzx_tpu"] = \
+                f"{type(e).__name__}: {e}"
+            import os
+            if os.environ.get("MSPACK_TPU_STRICT"):
+                raise
+            return None
+
+    def _crc_tpu(self, out: bytes) -> int:
+        """Per-block CRC on the MXU (GF(2) matmul, ops/crc32) when the
+        chip path decoded the block; host zlib otherwise."""
+        try:
+            import jax
+
+            if jax.default_backend() != "cpu":
+                from ..ops.crc32 import crc32_device
+                return crc32_device(out)
+        except Exception:
+            pass
+        return crc32_raw(out)
 
     def decompress_bytes(self, data: PathOrBytes) -> bytes:
         sink = BytesSink()

@@ -122,11 +122,11 @@ def _model_sizes(wb):
 _MODEL_STARTS = (0, 0, 64, 128, 192, 0, 0, 0, 0)
 
 
-def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
-            tok_hbm, litw_hbm, cnt_ref,
-            win_ref, tabs, rescnt,
+def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j, car_ref, st_in,
+            tok_hbm, litw_hbm, cnt_ref, st_out,
+            win_ref, tabs,
             stage_tok, stage_lit, mintmp, sems,
-            *, SL, LN, W, T_PAD, WB):
+            *, SL, LN, W, T_PAD, WB, RESUME):
     i32 = jnp.int32
     u32 = jnp.uint32
     f32 = jnp.float32
@@ -159,16 +159,29 @@ def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
     stage_lit[0] = jnp.zeros((CHUNK, SL, LN), i32)
     stage_lit[1] = jnp.zeros((CHUNK, SL, LN), i32)
 
-    # model init: rows i of model m hold ((start+i)<<16) | (n-i),
-    # padding rows hold 0
-    for m in range(NT):
-        n = NS[m]
-        st = _MODEL_STARTS[m]
-        val = jnp.where(rio_t <= n,
-                        ((rio_t + st) << 16) | jnp.maximum(n - rio_t, 0),
-                        0)
-        tabs[m] = jnp.broadcast_to(val, (TROWS, SL, LN)) + nz[None]
-    rescnt[:] = jnp.full((NT, SL, LN), 4, i32) + nz[None]
+    # rescnt (per-model rescales-until-sort countdown) lives in the
+    # spare tabs block NT so the whole adaptive-model state exports /
+    # imports as ONE (NT+1, TROWS, SL, LN) grid (segmented decode)
+    rescnt = tabs.at[NT, pl.ds(0, NT)]
+    if not RESUME:
+        # model init: rows i of model m hold ((start+i)<<16) | (n-i),
+        # padding rows hold 0
+        for m in range(NT):
+            n = NS[m]
+            st = _MODEL_STARTS[m]
+            val = jnp.where(rio_t <= n,
+                            ((rio_t + st) << 16)
+                            | jnp.maximum(n - rio_t, 0),
+                            0)
+            tabs[m] = jnp.broadcast_to(val, (TROWS, SL, LN)) + nz[None]
+        rescnt[...] = jnp.full((NT, SL, LN), 4, i32) + nz[None]
+    else:
+        # import the previous segment's model state
+        for m in range(NT + 1):
+            cp = pltpu.make_async_copy(st_in.at[m], tabs.at[m],
+                                       sems.at[S_ROW])
+            cp.start()
+            cp.wait()
 
     def consume(hi, lo, navail, k):
         ku = jnp.clip(k, 1, 31).astype(u32)
@@ -197,7 +210,7 @@ def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
         (t, _alldone, mode, bithi, bitlo, navail, wpos, base, pend,
          outpos, litword, litcnt, lo16, hi16, code, sel, slot,
          pendlen, split_len, split_dist, frame_todo, resume, pk,
-         ptyp, err, donestep) = state
+         ptyp, rs_pend, err, donestep) = state
 
         # ---------- stream window refresh ---------------------------
         is_wait = jnp.logical_and(jax.lax.rem(t, RPD) == 1, t > 0)
@@ -407,6 +420,7 @@ def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
         # rescale parking: lanes that tripped 3800 wait for the
         # periodic masked rescale block before their next decode
         pk = jnp.where(needs_rs, kind, pk)
+        rs_pend = jnp.where(needs_rs, vfull(1), rs_pend)
         resume = jnp.where(needs_rs, new_mode, resume)
         new_mode = jnp.where(needs_rs & (new_mode < QDONE), QRS,
                              new_mode)
@@ -527,7 +541,7 @@ def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
         # on a block step is rescaled (and released) that same step,
         # so its halve-vs-sort type must already be current
         rcur = jnp.sum(jnp.where(jax.lax.broadcasted_iota(
-            i32, (NT, SL, LN), 0) == pk[None], rescnt[:], 0), axis=0)
+            i32, (NT, SL, LN), 0) == pk[None], rescnt[...], 0), axis=0)
         ptyp = jnp.where(needs_rs, jnp.where(rcur - 1 == 0, 1, 0),
                          ptyp)
         in_rs = new_mode == QRS
@@ -598,15 +612,16 @@ def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
         released_h = in_rs & (ptyp == 0) & do_halve
         released_s = in_rs & (ptyp == 1) & do_sort
         released = released_h | released_s
+        rs_pend = jnp.where(released, nz, rs_pend)
         new_mode = jnp.where(released, resume, new_mode)
         # decrement / reset rescales_left for the kind that rescaled
         rdec = released_h[None] & (jax.lax.broadcasted_iota(
             i32, (NT, SL, LN), 0) == pk[None])
         rset = released_s[None] & (jax.lax.broadcasted_iota(
             i32, (NT, SL, LN), 0) == pk[None])
-        rescnt[:] = jnp.where(rdec, rescnt[:] - 1,
-                              jnp.where(rset, vfull(50)[None],
-                                        rescnt[:]))
+        rescnt[...] = jnp.where(rdec, rescnt[...] - 1,
+                                jnp.where(rset, vfull(50)[None],
+                                          rescnt[...]))
 
         # ---------- emit token row ----------------------------------
         row = jax.lax.rem(t, CHUNK)
@@ -644,23 +659,58 @@ def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
         return (t + 1, alldone, new_mode, bithi, bitlo, navail, wpos,
                 base, pend, outpos, litword, litcnt, lo16, hi16, code,
                 sel, slot, pendlen, split_len, split_dist, frame_todo,
-                resume, pk, ptyp, new_err, donestep)
+                resume, pk, ptyp, rs_pend, new_err, donestep)
 
     def cond(state):
         t, alldone = state[0], state[1]
         return jnp.logical_and(t < T_PAD, alldone == 0)
 
     nz_u = nz.astype(u32)
-    init = (jnp.int32(0), jnp.int32(0), nz + QF, nz_u, nz_u,
-            nz, nz, nz, nz, nz, nz, nz, nz, nz + 0xFFFF, nz,
-            nz, nz, nz, nz, nz, nz + FRAME, nz, nz, nz, nz, nz - 1)
+    if not RESUME:
+        init = (jnp.int32(0), jnp.int32(0), nz + QF, nz_u, nz_u,
+                nz, nz, nz, nz, nz, nz, nz, nz, nz + 0xFFFF, nz,
+                nz, nz, nz, nz, nz, nz + FRAME, nz, nz, nz, nz, nz,
+                nz - 1)
+    else:
+        # carries from car_ref (_CAR layout below). A lane stopped at
+        # a 32 KiB frame boundary (QDONE won over QALIGN at the
+        # segment edge; the coder re-inits at frame starts,
+        # qtmd.c:430-442), so unfinished lanes resume in QALIGN —
+        # except lanes whose final symbol tripped a model rescale,
+        # which park in QRS until the periodic block runs.
+        cerr = car_ref[7]
+        crs = car_ref[4]
+        mode0 = jnp.where(
+            cerr > 0, vfull(QERR),
+            jnp.where(car_ref[3] >= outlen_ref[:], vfull(QDONE),
+                      jnp.where(crs > 0, vfull(QRS),
+                                vfull(QALIGN)))) + nz
+        init = (jnp.int32(0), jnp.int32(0), mode0,
+                car_ref[0].astype(u32), car_ref[1].astype(u32),
+                car_ref[2] + nz, nz, nz, nz, car_ref[3] + nz,
+                nz, nz, nz, nz + 0xFFFF, nz,
+                nz, nz, nz, nz, nz, nz, nz + QALIGN,
+                car_ref[5] + nz, car_ref[6] + nz, crs + nz,
+                car_ref[7] + nz, nz - 1)
     final = jax.lax.while_loop(cond, step, init)
     t_end = final[0]
     mode = final[2]
     wpos = final[6]
     outpos = final[9]
-    err = final[24]
-    donestep = final[25]
+    err = final[25]
+    donestep = final[26]
+
+    # ---- state export: model grid back to HBM, carries to cnt 8+
+    for m in range(NT + 1):
+        cp = pltpu.make_async_copy(tabs.at[m], st_out.at[m],
+                                   sems.at[S_ROW])
+        cp.start()
+        cp.wait()
+    # _CAR layout: 0=bithi 1=bitlo 2=navail 3=outpos 4=rs_pend 5=pk
+    # 6=ptyp 7=err
+    for kk, fi in enumerate((3, 4, 5, 9, 24, 22, 23, 25)):
+        v = final[fi]
+        cnt_ref[8 + kk] = v.astype(i32) if v.dtype == u32 else v
 
     @pl.when(jnp.logical_and(t_end >= 1,
                              jax.lax.rem(t_end - 1, RPD) == 0))
@@ -725,35 +775,39 @@ def _kernel(stream_hbm, outlen_ref, pairs_i, pairs_j,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "SL", "LN", "W", "T_PAD", "WB", "interpret"))
-def _run(stream, outlen, pairs_i, pairs_j, SL, LN, W, T_PAD, WB,
-         interpret=False):
+    "SL", "LN", "W", "T_PAD", "WB", "RESUME", "interpret"))
+def _run(stream, outlen, pairs_i, pairs_j, car, st_in, SL, LN, W,
+         T_PAD, WB, RESUME=False, interpret=False):
     kern = functools.partial(_kernel, SL=SL, LN=LN, W=W, T_PAD=T_PAD,
-                             WB=WB)
+                             WB=WB, RESUME=RESUME)
     return pl.pallas_call(
         kern,
         interpret=interpret,
         out_shape=(jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
                    jax.ShapeDtypeStruct((T_PAD, SL, LN), jnp.int32),
-                   jax.ShapeDtypeStruct((8, SL, LN), jnp.int32)),
+                   jax.ShapeDtypeStruct((16, SL, LN), jnp.int32),
+                   jax.ShapeDtypeStruct((NT + 1, TROWS, SL, LN),
+                                        jnp.int32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
-            pltpu.VMEM((WINR, SL, LN), jnp.uint32),      # win
-            pltpu.VMEM((NT, TROWS, SL, LN), jnp.int32),  # tabs
-            pltpu.VMEM((NT, SL, LN), jnp.int32),         # rescnt
+            pltpu.VMEM((WINR, SL, LN), jnp.uint32),          # win
+            pltpu.VMEM((NT + 1, TROWS, SL, LN), jnp.int32),  # tabs
             pltpu.VMEM((2, CHUNK, SL, LN), jnp.int32),   # stage_tok
             pltpu.VMEM((2, CHUNK, SL, LN), jnp.int32),   # stage_lit
             pltpu.VMEM((1, SL, LN), jnp.int32),          # mintmp
             pltpu.SemaphoreType.DMA((NSEM,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(stream, outlen, pairs_i, pairs_j)
+    )(stream, outlen, pairs_i, pairs_j, car, st_in)
 
 
 def pack_streams(streams, SL=8, LN=128):
@@ -769,15 +823,30 @@ def pack_streams(streams, SL=8, LN=128):
 
 
 def qtm_phase_a(streams, out_lens, window_bits, SL=8, LN=128,
-                T_PAD=None, interpret=False):
+                T_PAD=None, interpret=False, resume=None,
+                return_state=False):
     """Run Quantum phase A on a batch of independent streams.
 
     streams: CAB folder streams WITH the 0xFF block trailers injected
     (one after every CFDATA block, cabd.c:1327-1332). Returns
-    (tok (T,L), litw (T,L), counts (8,L)); resolve with the LZX trace
-    machinery (litw = linear distance, wsize zero prefix)."""
+    (tok (T,L), litw (T,L), counts (16,L)[, state]); resolve with the
+    LZX trace machinery (litw = linear distance, wsize zero prefix).
+
+    resume: (cnt (16, L), st ((NT+1)*TROWS, L)) from a previous
+    segment's return_state=True call; out_lens are then ABSOLUTE stop
+    targets (32 KiB frame multiples except the final one) and streams
+    must be each lane's REMAINDER from its exported word cursor
+    (counts row 3 * 4 bytes in). The coder re-inits at frame starts
+    (qtmd.c:430-442) so only the bit buffer, the adaptive model grid
+    and a pending-rescale flag carry across segments."""
     L = SL * LN
     stream, W = pack_streams(streams, SL, LN)
+    # bucket W to powers of two so multi-launch (segmented) decodes
+    # reuse one compiled kernel per bucket
+    Wb = max(WINR + 2, 1 << (W - 1).bit_length())
+    if Wb != W:
+        stream = np.pad(stream, ((0, Wb - W), (0, 0), (0, 0)))
+        W = Wb
     outlen = np.zeros((SL, LN), np.int32)
     for i, n in enumerate(out_lens):
         outlen[i // LN, i % LN] = n
@@ -786,11 +855,23 @@ def qtm_phase_a(streams, out_lens, window_bits, SL=8, LN=128,
         T_PAD = max(out_lens, default=1) * 2 + 4096
     T_PAD = ((T_PAD + CHUNK - 1) // CHUNK) * CHUNK
     pi, pj, _ = _pair_arrays(window_bits)
-    tok, litw, cnt = _run(jnp.asarray(stream), jnp.asarray(outlen),
-                          jnp.asarray(pi), jnp.asarray(pj),
-                          SL, LN, W, T_PAD, window_bits, interpret)
-    return (tok.reshape(T_PAD, L), litw.reshape(T_PAD, L),
-            cnt.reshape(8, L))
+    if resume is None:
+        car = np.zeros((8, SL, LN), np.int32)
+        st_in = np.zeros((NT + 1, TROWS, SL, LN), np.int32)
+    else:
+        cnt16, st = resume
+        car = np.ascontiguousarray(
+            np.asarray(cnt16)[8:16].reshape(8, SL, LN))
+        st_in = np.asarray(st).reshape(NT + 1, TROWS, SL, LN)
+    tok, litw, cnt, st_out = _run(
+        jnp.asarray(stream), jnp.asarray(outlen), jnp.asarray(pi),
+        jnp.asarray(pj), jnp.asarray(car), jnp.asarray(st_in),
+        SL, LN, W, T_PAD, window_bits, resume is not None, interpret)
+    out = (tok.reshape(T_PAD, L), litw.reshape(T_PAD, L),
+           cnt.reshape(16, L))
+    if return_state:
+        return out + (st_out.reshape((NT + 1) * TROWS, L),)
+    return out
 
 
 def replay_trace(tok_col, litw_col, out_len, window_bits):

@@ -334,124 +334,425 @@ def decode_frames_ring(mesh: Mesh, frames: list[bytes],
         return None
 
 
-LZX_MESH_CAP = 128 * 1024   # per-lane LZX output budget on the mesh
+LZX_MESH_CAP = 128 * 1024   # per-launch LZX output budget on the mesh
+LZX_MESH_SEG = 64 * 1024    # segment size for larger streams
+MESH_RESOLVE_BUDGET = 64 << 20  # per-device resolve elements (i32)
+
+
+def _lanes_resolve(tok, litw, flen, Fl, WSIZE, stride, N_loc,
+                   pfx=None):
+    """Shared on-device phase B for LZX/Quantum lane traces.
+
+    tok/litw: (Fl, T) int32 token planes (pallas_lzx token format,
+    which pallas_qtm shares); flen: (Fl,) produced byte counts. Each
+    lane owns a [WSIZE prefix | output] region of length `stride`;
+    pfx (Fl, WSIZE) int32, when given, fills the prefix with the
+    previous segment's window tail (zeros otherwise). Returns
+    (out bytes over N_loc as int32, roots<0 invalid flag)."""
+    T = tok.shape[1]
+    live = tok >= 0
+    is_lit = live & ((tok >> 29) & 1).astype(bool)
+    is_mt = live & ((tok >> 30) & 1).astype(bool)
+    nlit = jnp.where(is_lit, tok & 7, 0)
+    mlen = jnp.where(is_mt, tok & 0xFFFFF, 0)
+    tlen = nlit + mlen
+    within = jnp.cumsum(tlen, axis=1) - tlen
+    base = (jnp.arange(Fl, dtype=jnp.int32) * stride + WSIZE)
+    out_start = (base[:, None] + within).reshape(-1)
+    tlen_f = tlen.reshape(-1)
+    v_f = tok.reshape(-1)
+    w_f = litw.reshape(-1)
+    nl_f = nlit.reshape(-1)
+    LT = Fl * T
+    marks = jnp.zeros(N_loc + 1, jnp.int32).at[
+        jnp.where(tlen_f > 0, jnp.clip(out_start, 0, N_loc),
+                  N_loc)].max(
+        jnp.arange(LT, dtype=jnp.int32) + 1)
+    tok_id = jnp.clip(jax.lax.cummax(marks[:N_loc]) - 1, 0, LT - 1)
+    pos = jnp.arange(N_loc, dtype=jnp.int32)
+    st = jnp.take(out_start, tok_id)
+    ww = jnp.take(w_f, tok_id)
+    nl = jnp.take(nl_f, tok_id)
+    b_off = pos - st
+    lit_byte = b_off < nl
+    litval = (ww >> (8 * jnp.clip(b_off, 0, 3))) & 0xFF
+    in_pfx = (pos % stride) < WSIZE
+    # bytes past a lane's produced length self-point (no covering
+    # token — see _expand_mszip_tokens)
+    flen_b = jnp.take(flen, pos // stride)
+    covered = ((pos % stride) - WSIZE) < flen_b
+    ptr = jnp.where(in_pfx | ~covered, pos,
+                    jnp.where(lit_byte, pos, pos - ww))
+    litv = jnp.where(~in_pfx & lit_byte & covered, litval, 0)
+    if pfx is not None:
+        pidx = ((pos // stride) * WSIZE
+                + jnp.clip(pos % stride, 0, WSIZE - 1))
+        litv = jnp.where(in_pfx, jnp.take(pfx.reshape(-1), pidx),
+                         litv)
+    roots = _point_roots(ptr, N_loc)
+    out = jnp.take(litv, jnp.clip(roots, 0, N_loc - 1))
+    return out, jnp.any(roots < 0)
+
+
+def _mesh_pack(streams, ndev, Fl, pack_fn, sl):
+    """Pack per-device stream grids, padded to a common power-of-two
+    word height (compile reuse across segments). sl: sublane count of
+    the kernel grid — 8 compiled (1024 lanes), 1 in interpreter mode
+    (the virtual CPU mesh pays per grid element)."""
+    packs = [pack_fn(streams[d * Fl:(d + 1) * Fl], sl, 128)
+             for d in range(ndev)]
+    W = max(p[1] for p in packs)
+    W = 1 << (W - 1).bit_length()
+    stream = np.zeros((ndev, W, sl, 128), np.uint32)
+    for dd, (arr, wd) in enumerate(packs):
+        stream[dd, :wd] = arr
+    return stream, W
+
+
+def _grid_i32(vals, ndev, Fl, sl):
+    g = np.zeros((ndev, sl, 128), np.int32)
+    for i, v in enumerate(vals):
+        g[i // Fl, ((i % Fl) // 128), (i % Fl) % 128] = v
+    return g
+
+
+def _mesh_sl(interp, Fl):
+    sl = 1 if interp else 8
+    while sl * 128 < Fl:
+        sl *= 2
+    return sl
 
 
 def decode_lzx_streams_sharded(mesh: Mesh, streams: list[bytes],
+                               sizes: list[int], window_bits: int,
+                               decline_on_intel: bool = False
+                               ) -> list[bytes] | None:
+    """Independent LZX streams dp-sharded over the mesh: each device
+    runs the product Pallas LZX kernel (compiled on real TPUs,
+    interpreted on the virtual CPU mesh) on its lanes, then a local
+    pointer-doubling resolve — no communication at all (the streams
+    share no state; this is the folder-DP axis). Streams larger than
+    LZX_MESH_CAP decode in LZX_MESH_SEG segments using the kernel's
+    entropy-state export, window tails chaining phase B on device.
+
+    Inputs must be WHOLE streams starting at output offset 0 (CAB
+    folders; CHM reset chunks via decline_on_intel=True): the E8
+    untransform applies host-side with curpos base 0 when flagged.
+    Callers whose chunks slice ONE sequential stream must pass
+    decline_on_intel=True — intel state is stream-global in the
+    reference (lzxd.c:707-713), so chunked decode of an E8 section
+    must fall back to the sequential engine."""
+    if not streams:
+        return []
+    try:
+        if max(sizes) > LZX_MESH_CAP:
+            return _decode_lzx_sharded_seg(mesh, streams, sizes,
+                                           window_bits,
+                                           decline_on_intel)
+        return _decode_lzx_sharded_one(mesh, streams, sizes,
+                                       window_bits, decline_on_intel)
+    except NeedFallback:
+        return None
+    except Exception:
+        # XLA OOM / lowering failures on extreme shapes degrade to the
+        # host path instead of escaping through decode_cab_sharded
+        return None
+
+
+def _decode_lzx_sharded_one(mesh, streams, sizes, window_bits,
+                            decline_on_intel):
+    from ..ops import pallas_lzx as plx
+
+    ndev = mesh.devices.size
+    nominal = len(streams)
+    Fl = (nominal + ndev - 1) // ndev
+    if Fl > 1024:
+        raise NeedFallback("too many streams")
+    F = Fl * ndev
+    streams = list(streams) + [b""] * (F - nominal)
+    sizes_p = list(sizes) + [0] * (F - nominal)
+    interp = _tpu_interpret()
+    SLn = _mesh_sl(interp, Fl)
+    NL = SLn * 128
+
+    stream, W = _mesh_pack(streams, ndev, Fl, plx.pack_streams, SLn)
+    outlen = _grid_i32(sizes_p, ndev, Fl, SLn)
+    hist = np.zeros((ndev, SLn, 128), np.int32)
+    valid = np.zeros((ndev, NL), np.int32)
+    for g in range(nominal):
+        valid[g // Fl, g % Fl] = 1
+    WSIZE = 1 << window_bits
+    cap = max(sizes)
+    stride = WSIZE + cap
+    N_loc = Fl * stride
+    if N_loc > MESH_RESOLVE_BUDGET:
+        raise NeedFallback("resolve buffer beyond budget")
+    t_pad = ((cap + 4096 + 127) // 128) * 128
+
+    _, st_rows = plx._state_layout(window_bits)
+    car0 = jnp.zeros((32, SLn, 128), jnp.int32)
+    st0 = jnp.zeros((st_rows, SLn, 128), jnp.int32)
+
+    def local(stream, outlen, hist, vmask):
+        tok, litw, cnt, _st = plx._run(stream[0], outlen[0],
+                                       hist[0], car0, st0,
+                                       SLn, 128, W, t_pad,
+                                       window_bits, False, False,
+                                       interp)
+        T = t_pad
+        tok = jnp.transpose(tok.reshape(T, NL)[:, :Fl])  # (Fl,T)
+        litw = jnp.transpose(litw.reshape(T, NL)[:, :Fl])
+        cnt = cnt.reshape(40, NL)   # rows 8+ = exported carries
+        vm = vmask[0, :Fl]
+        errs = jnp.where(vm > 0, cnt[0, :Fl], 0)
+        flen = jnp.where(vm > 0, cnt[1, :Fl], 0)
+        tok = jnp.where(vm[:, None] > 0, tok, -1)
+        out, bad = _lanes_resolve(tok, litw, flen, Fl, WSIZE, stride,
+                                  N_loc)
+        inv = jnp.logical_or(jnp.any(errs != 0), bad)
+        return (out[None], flen, errs, cnt[4, :Fl], cnt[5, :Fl],
+                inv[None])
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp", None), P("dp"), P("dp"), P("dp"),
+                   P("dp"), P("dp")),
+        check_vma=False)
+    out, flen, errs, ifl, ifsz, inv = jax.jit(fn)(
+        jnp.asarray(stream), jnp.asarray(outlen),
+        jnp.asarray(hist), jnp.asarray(valid))
+    if bool(jnp.any(inv)):
+        raise NeedFallback("kernel error / invalid chain")
+    flen_np = np.asarray(flen).reshape(-1)
+    if not np.array_equal(flen_np[:nominal],
+                          np.asarray(sizes, np.int64)):
+        raise NeedFallback("size mismatch")
+    out_np = np.asarray(out)
+    ifl_np = np.asarray(ifl).reshape(-1)
+    ifsz_np = np.asarray(ifsz).reshape(-1)
+    if decline_on_intel and ifl_np[:nominal].any() \
+            and ifsz_np[:nominal].any():
+        raise NeedFallback("intel E8 state is stream-global")
+    from ..ops import pallas_lzx as plx2
+    results = []
+    for g in range(nominal):
+        dd, j = g // Fl, g % Fl
+        blob = out_np[dd, j * stride + WSIZE:
+                      j * stride + WSIZE + sizes[g]] \
+            .astype(np.uint8).tobytes()
+        if ifl_np[g] and ifsz_np[g]:
+            blob = plx2.e8_decode(blob, int(ifsz_np[g]))
+        results.append(blob)
+    return results
+
+
+def _decode_lzx_sharded_seg(mesh, streams, sizes, window_bits,
+                            decline_on_intel):
+    """Segmented mesh decode for streams beyond LZX_MESH_CAP: every
+    launch advances each unfinished lane by <= LZX_MESH_SEG bytes
+    (32 KiB frame aligned), the kernel's full entropy state (trees,
+    bit cursor, LRU) carried between launches as dp-sharded arrays,
+    and each lane's previous window tail preloading the resolve
+    prefix on device."""
+    from ..ops import pallas_lzx as plx
+
+    ndev = mesh.devices.size
+    nominal = len(streams)
+    Fl = (nominal + ndev - 1) // ndev
+    if Fl > 1024:
+        raise NeedFallback("too many streams")
+    F = Fl * ndev
+    streams = list(streams) + [b""] * (F - nominal)
+    sizes_p = list(sizes) + [0] * (F - nominal)
+    WSIZE = 1 << window_bits
+    interp = _tpu_interpret()
+    SLn = _mesh_sl(interp, Fl)
+    NL = SLn * 128
+    SEG = LZX_MESH_SEG
+    stride = WSIZE + SEG
+    N_loc = Fl * stride
+    if N_loc > MESH_RESOLVE_BUDGET:
+        raise NeedFallback("resolve buffer beyond budget")
+    t_pad = ((SEG + 4096 + 127) // 128) * 128
+    _, st_rows = plx._state_layout(window_bits)
+
+    valid = np.zeros((ndev, NL), np.int32)
+    for g in range(nominal):
+        valid[g // Fl, g % Fl] = 1
+
+    def local(stream, outlen, prevpos, car, st_in, pfx, vmask, W,
+              resume):
+        tok, litw, cnt, st_out = plx._run(
+            stream[0], outlen[0], jnp.zeros((SLn, 128), jnp.int32),
+            car[0], st_in[0], SLn, 128, W, t_pad, window_bits, False,
+            resume, interp)
+        T = t_pad
+        tok = jnp.transpose(tok.reshape(T, NL)[:, :Fl])
+        litw = jnp.transpose(litw.reshape(T, NL)[:, :Fl])
+        cnt = cnt.reshape(40, NL)
+        vm = vmask[0, :Fl]
+        pv = prevpos[0].reshape(NL)[:Fl]
+        errs = jnp.where(vm > 0, cnt[0, :Fl], 0)
+        seg_flen = jnp.where(vm > 0, cnt[1, :Fl] - pv, 0)
+        tok = jnp.where(vm[:, None] > 0, tok, -1)
+        out, bad = _lanes_resolve(tok, litw, seg_flen, Fl, WSIZE,
+                                  stride, N_loc, pfx=pfx[0])
+        inv = jnp.logical_or(jnp.any(errs != 0), bad)
+        return (out[None], seg_flen, cnt[None], st_out[None],
+                inv[None])
+
+    fns = {}
+
+    def run_seg(stream, outlen, prevpos, car, st_in, pfx, W, resume):
+        key = (W, resume)
+        if key not in fns:
+            fn = shard_map(
+                functools.partial(local, W=W, resume=resume),
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp"), P("dp"),
+                          P("dp"), P("dp"), P("dp")),
+                out_specs=(P("dp", None), P("dp"), P("dp"),
+                           P("dp"), P("dp")),
+                check_vma=False)
+            fns[key] = jax.jit(fn)
+        return fns[key](stream, outlen, prevpos, car, st_in, pfx,
+                        jnp.asarray(valid))
+
+    pos = [0] * F
+    parts = [bytearray() for _ in range(F)]
+    tails = np.zeros((ndev, Fl, WSIZE), np.int32)
+    rem = list(streams)
+    car = np.zeros((ndev, 32, SLn, 128), np.int32)
+    st = np.zeros((ndev, st_rows, SLn, 128), np.int32)
+    resume = False
+    ifl_np = np.zeros(F, np.int64)
+    ifsz_np = np.zeros(F, np.int64)
+    while any(pos[g] < sizes_p[g] for g in range(F)):
+        targets = [min(sizes_p[g], pos[g] + SEG) for g in range(F)]
+        stream, W = _mesh_pack(rem, ndev, Fl, plx.pack_streams, SLn)
+        out, seg_flen, cnt, st_out, inv = run_seg(
+            jnp.asarray(stream),
+            jnp.asarray(_grid_i32(targets, ndev, Fl, SLn)),
+            jnp.asarray(_grid_i32(pos, ndev, Fl, SLn)),
+            jnp.asarray(car), jnp.asarray(st), jnp.asarray(tails),
+            W, resume)
+        if bool(jnp.any(inv)):
+            raise NeedFallback("kernel error / invalid chain")
+        cnth = np.asarray(cnt)          # (ndev, 40, 1024)
+        segf = np.asarray(seg_flen).reshape(-1)
+        out_np = np.asarray(out)
+        for g in range(F):
+            dd, j = g // Fl, g % Fl
+            want = targets[g] - pos[g]
+            if want == 0:
+                continue
+            if segf[g] != want:
+                raise NeedFallback("segment length mismatch")
+            seg = out_np[dd, j * stride + WSIZE:
+                         j * stride + WSIZE + want].astype(np.uint8)
+            parts[g].extend(seg.tobytes())
+            joined = np.concatenate(
+                [tails[dd, j].astype(np.uint8), seg])
+            tails[dd, j] = joined[-WSIZE:].astype(np.int32)
+            pos[g] = targets[g]
+            ifl_np[g] = int(cnth[dd, 4, j])
+            ifsz_np[g] = int(cnth[dd, 5, j])
+        wpos = cnth[:, 3, :]
+        rem = [rem[g][4 * int(wpos[g // Fl, g % Fl]):]
+               for g in range(F)]
+        car = np.ascontiguousarray(
+            cnth[:, 8:40, :].reshape(ndev, 32, SLn, 128))
+        st = np.asarray(st_out).reshape(ndev, st_rows, SLn, 128)
+        resume = True
+    if decline_on_intel and ifl_np[:nominal].any() \
+            and ifsz_np[:nominal].any():
+        raise NeedFallback("intel E8 state is stream-global")
+    results = []
+    for g in range(nominal):
+        blob = bytes(parts[g])
+        if ifl_np[g] and ifsz_np[g]:
+            blob = plx.e8_decode(blob, int(ifsz_np[g]))
+        results.append(blob)
+    return results
+
+
+QTM_MESH_CAP = 128 * 1024
+
+
+def decode_qtm_streams_sharded(mesh: Mesh, streams: list[bytes],
                                sizes: list[int], window_bits: int
                                ) -> list[bytes] | None:
-    """Independent LZX streams (CAB folders / CHM reset chunks)
-    dp-sharded over the mesh: each device runs the product Pallas LZX
-    kernel (interpreted on the virtual CPU mesh) on its lanes, then a
-    local pointer-doubling resolve — no communication at all (the
-    streams share no state; this is the folder-DP axis).
-    E8 untransform applies host-side per stream when flagged."""
-    from ..ops import pallas_lzx as plx
+    """Independent Quantum folder streams (0xFF trailers injected)
+    dp-sharded onto the Quantum lane kernel — the same no-comm
+    folder-DP axis as LZX; phase B is the shared pointer-doubling
+    resolve (the kernels emit one token format)."""
+    from ..ops import pallas_qtm as pq
 
     if not streams:
         return []
     try:
         ndev = mesh.devices.size
         nominal = len(streams)
-        if max(sizes) > LZX_MESH_CAP:
+        if max(sizes) > QTM_MESH_CAP:
             raise NeedFallback("stream beyond mesh lane budget")
+        if _tpu_interpret() and max(sizes) > 4096:
+            # ~10 ms/step interpreted: the virtual mesh validates the
+            # comm pattern on tiny folders; real chips take any size
+            raise NeedFallback("interpret-mode budget")
         Fl = (nominal + ndev - 1) // ndev
         if Fl > 1024:
             raise NeedFallback("too many streams")
         F = Fl * ndev
         streams = list(streams) + [b""] * (F - nominal)
         sizes_p = list(sizes) + [0] * (F - nominal)
+        interp = _tpu_interpret()
+        SLn = _mesh_sl(interp, Fl)
+        NL = SLn * 128
 
-        packs = [plx.pack_streams(streams[d * Fl:(d + 1) * Fl])
-                 for d in range(ndev)]
-        W = max(p[1] for p in packs)
-        stream = np.zeros((ndev, W, 8, 128), np.uint32)
-        for dd, (arr, wd) in enumerate(packs):
-            stream[dd, :wd] = arr
-        outlen = np.zeros((ndev, 8, 128), np.int32)
-        for g, s in enumerate(sizes_p):
-            outlen[g // Fl, (g % Fl) // 128, (g % Fl) % 128] = s
-        hist = np.zeros((ndev, 8, 128), np.int32)
-        valid = np.zeros((ndev, 1024), np.int32)
+        stream, W = _mesh_pack(streams, ndev, Fl, pq.pack_streams,
+                               SLn)
+        outlen = _grid_i32(sizes_p, ndev, Fl, SLn)
+        valid = np.zeros((ndev, NL), np.int32)
         for g in range(nominal):
             valid[g // Fl, g % Fl] = 1
         WSIZE = 1 << window_bits
         cap = max(sizes)
         stride = WSIZE + cap
         N_loc = Fl * stride
-        t_pad = ((cap + 4096 + 127) // 128) * 128
-        interp = _tpu_interpret()
+        if N_loc > MESH_RESOLVE_BUDGET:
+            raise NeedFallback("resolve buffer beyond budget")
+        t_pad = ((cap * 2 + 4096 + 127) // 128) * 128
+        pi, pj, _ = pq._pair_arrays(window_bits)
+        car0 = jnp.zeros((8, SLn, 128), jnp.int32)
+        st0 = jnp.zeros((pq.NT + 1, pq.TROWS, SLn, 128), jnp.int32)
 
-        _, st_rows = plx._state_layout(window_bits)
-        car0 = jnp.zeros((32, 8, 128), jnp.int32)
-        st0 = jnp.zeros((st_rows, 8, 128), jnp.int32)
-
-        def local(stream, outlen, hist, vmask):
-            tok, litw, cnt, _st = plx._run(stream[0], outlen[0],
-                                           hist[0], car0, st0,
-                                           8, 128, W, t_pad,
-                                           window_bits, False, False,
-                                           interp)
+        def local(stream, outlen, vmask):
+            tok, litw, cnt, _st = pq._run(
+                stream[0], outlen[0], jnp.asarray(pi),
+                jnp.asarray(pj), car0, st0, SLn, 128, W, t_pad,
+                window_bits, False, interp)
             T = t_pad
-            tok = jnp.transpose(tok.reshape(T, 1024)[:, :Fl])  # (Fl,T)
-            litw = jnp.transpose(litw.reshape(T, 1024)[:, :Fl])
-            cnt = cnt.reshape(40, 1024)   # rows 8+ = exported carries
+            tok = jnp.transpose(tok.reshape(T, NL)[:, :Fl])
+            litw = jnp.transpose(litw.reshape(T, NL)[:, :Fl])
+            cnt = cnt.reshape(16, NL)
             vm = vmask[0, :Fl]
             errs = jnp.where(vm > 0, cnt[0, :Fl], 0)
             flen = jnp.where(vm > 0, cnt[1, :Fl], 0)
             tok = jnp.where(vm[:, None] > 0, tok, -1)
-            live = tok >= 0
-            is_lit = live & ((tok >> 29) & 1).astype(bool)
-            is_mt = live & ((tok >> 30) & 1).astype(bool)
-            nlit = jnp.where(is_lit, tok & 7, 0)
-            mlen = jnp.where(is_mt, tok & 0xFFFFF, 0)
-            tlen = nlit + mlen
-            within = jnp.cumsum(tlen, axis=1) - tlen
-            base = (jnp.arange(Fl, dtype=jnp.int32) * stride + WSIZE)
-            out_start = (base[:, None] + within).reshape(-1)
-            tlen_f = tlen.reshape(-1)
-            v_f = tok.reshape(-1)
-            w_f = litw.reshape(-1)
-            nl_f = nlit.reshape(-1)
-            LT = Fl * T
-            marks = jnp.zeros(N_loc + 1, jnp.int32).at[
-                jnp.where(tlen_f > 0, jnp.clip(out_start, 0, N_loc),
-                          N_loc)].max(
-                jnp.arange(LT, dtype=jnp.int32) + 1)
-            tok_id = jnp.clip(jax.lax.cummax(marks[:N_loc]) - 1, 0,
-                              LT - 1)
-            pos = jnp.arange(N_loc, dtype=jnp.int32)
-            st = jnp.take(out_start, tok_id)
-            vv = jnp.take(v_f, tok_id)
-            ww = jnp.take(w_f, tok_id)
-            nl = jnp.take(nl_f, tok_id)
-            b_off = pos - st
-            lit_byte = b_off < nl
-            litval = (ww >> (8 * jnp.clip(b_off, 0, 3))) & 0xFF
-            in_pfx = (pos % stride) < WSIZE
-            # bytes past a lane's produced length self-point (no
-            # covering token — see _expand_mszip_tokens)
-            flen_b = jnp.take(flen, pos // stride)
-            covered = ((pos % stride) - WSIZE) < flen_b
-            ptr = jnp.where(in_pfx | ~covered, pos,
-                            jnp.where(lit_byte, pos, pos - ww))
-            litv = jnp.where(~in_pfx & lit_byte & covered, litval, 0)
-            roots = _point_roots(ptr, N_loc)
-            out = jnp.take(litv, jnp.clip(roots, 0, N_loc - 1))
-            inv = jnp.logical_or(jnp.any(errs != 0),
-                                 jnp.any(roots < 0))
-            return (out[None], flen, errs, cnt[4, :Fl], cnt[5, :Fl],
-                    inv[None])
+            out, bad = _lanes_resolve(tok, litw, flen, Fl, WSIZE,
+                                      stride, N_loc)
+            inv = jnp.logical_or(jnp.any(errs != 0), bad)
+            return (out[None], flen, inv[None])
 
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-            out_specs=(P("dp", None), P("dp"), P("dp"), P("dp"),
-                       P("dp"), P("dp")),
+            in_specs=(P("dp"), P("dp"), P("dp")),
+            out_specs=(P("dp", None), P("dp"), P("dp")),
             check_vma=False)
-        out, flen, errs, ifl, ifsz, inv = jax.jit(fn)(
+        out, flen, inv = jax.jit(fn)(
             jnp.asarray(stream), jnp.asarray(outlen),
-            jnp.asarray(hist), jnp.asarray(valid))
+            jnp.asarray(valid))
         if bool(jnp.any(inv)):
             raise NeedFallback("kernel error / invalid chain")
         flen_np = np.asarray(flen).reshape(-1)
@@ -459,19 +760,16 @@ def decode_lzx_streams_sharded(mesh: Mesh, streams: list[bytes],
                               np.asarray(sizes, np.int64)):
             raise NeedFallback("size mismatch")
         out_np = np.asarray(out)
-        ifl_np = np.asarray(ifl).reshape(-1)
-        ifsz_np = np.asarray(ifsz).reshape(-1)
         results = []
         for g in range(nominal):
             dd, j = g // Fl, g % Fl
-            blob = out_np[dd, j * stride + WSIZE:
-                          j * stride + WSIZE + sizes[g]] \
-                .astype(np.uint8).tobytes()
-            if ifl_np[g] and ifsz_np[g]:
-                blob = plx.e8_decode(blob, int(ifsz_np[g]))
-            results.append(blob)
+            results.append(out_np[dd, j * stride + WSIZE:
+                                  j * stride + WSIZE + sizes[g]]
+                           .astype(np.uint8).tobytes())
         return results
     except NeedFallback:
+        return None
+    except Exception:
         return None
 
 
@@ -479,10 +777,10 @@ def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
     """Decode a whole cabinet over the mesh (EP-style per-codec
     dispatch, SURVEY §2.4): MSZIP folders through the ppermute ring
     (frames dp-sharded), LZX folders dp-sharded as independent lane
-    streams, NONE folders as raw copies, and Quantum folders through
-    the host adaptive-arithmetic engine (its per-symbol model mutation
-    has no intra-stream parallelism, qtmd.c:92-166 — folder-DP on the
-    host pool is its grid).
+    streams (segmented via kernel state export when large), Quantum
+    folders dp-sharded onto the Quantum lane kernel (host
+    adaptive-arithmetic engine as fallback), NONE folders as raw
+    copies.
 
     Returns {filename: bytes} for every member."""
     from ..formats.cab import CabDecompressor, COMPTYPE_MASK
@@ -491,6 +789,7 @@ def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
     cab = d.open(path_or_bytes)
     folder_bytes = {}
     lzx_jobs = {}   # wb -> [(fi, stream, size)]
+    qtm_jobs = {}
     for fi, fol in enumerate(cab.folders):
         ct = fol.comp_type & COMPTYPE_MASK
         if ct == 1:
@@ -518,20 +817,15 @@ def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
             lzx_jobs.setdefault(wb, []).append(
                 (fi, b"".join(blocks), sum(sizes)))
         elif ct == 2:
-            from .. import native
             collected = d.collect_raw_blocks(fol)
-            if collected is None or not native.available():
+            if collected is None:
                 return None
             blocks, sizes = collected
             # cabd injects a 0xFF realign trailer after each block
             # (cabd.c:1327-1332)
-            stream = b"\xff".join(blocks) + b"\xff"
-            blob = native.qtm_decode(stream,
-                                     (fol.comp_type >> 8) & 0x1F,
-                                     sum(sizes))
-            if blob is None:
-                return None
-            folder_bytes[fi] = blob
+            stream = b"".join(b + b"\xff" for b in blocks)
+            qtm_jobs.setdefault((fol.comp_type >> 8) & 0x1F,
+                                []).append((fi, stream, sum(sizes)))
         else:
             return None
     for wb, jobs in lzx_jobs.items():
@@ -539,6 +833,22 @@ def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
             mesh, [j[1] for j in jobs], [j[2] for j in jobs], wb)
         if outs is None:
             return None
+        for (fi, _, _), blob in zip(jobs, outs):
+            folder_bytes[fi] = blob
+    for wb, jobs in qtm_jobs.items():
+        outs = decode_qtm_streams_sharded(
+            mesh, [j[1] for j in jobs], [j[2] for j in jobs], wb)
+        if outs is None:
+            # host adaptive-arithmetic engine fallback (folder-DP)
+            from .. import native
+            if not native.available():
+                return None
+            outs = []
+            for _, stream, total in jobs:
+                blob = native.qtm_decode(stream, wb, total)
+                if blob is None:
+                    return None
+                outs.append(blob)
         for (fi, _, _), blob in zip(jobs, outs):
             folder_bytes[fi] = blob
     out = {}
@@ -549,4 +859,39 @@ def decode_cab_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
         if blob is None or f.offset + f.length > len(blob):
             return None
         out[f.filename] = blob[f.offset:f.offset + f.length]
+    return out
+
+
+def decode_chm_sharded(mesh: Mesh, path_or_bytes) -> dict | None:
+    """Decode a whole CHM over the mesh: the ResetTable shards
+    section 1 into independent LZX reset-interval chunks
+    (chmd.c:1147-1175 — the checkpoint grid IS the shard grid), each
+    decoded on a kernel lane; section 0 members are raw copies.
+
+    Returns {filename: bytes} for every listed member (content files
+    only; system files excluded)."""
+    from ..formats.chm import ChmDecompressor
+
+    d = ChmDecompressor()
+    chm = d.open(path_or_bytes)
+    plan = d.sec1_chunk_plan(chm)
+    sec1 = None
+    if plan is not None:
+        chunks, csizes, window_bits = plan
+        outs = decode_lzx_streams_sharded(mesh, chunks, csizes,
+                                          window_bits,
+                                          decline_on_intel=True)
+        if outs is not None:
+            sec1 = b"".join(outs)
+    out = {}
+    for f in chm.files:
+        if f.section is not None and f.section.id == 1:
+            if sec1 is None or f.offset + f.length > len(sec1):
+                return None
+            out[f.filename] = sec1[f.offset:f.offset + f.length]
+        else:
+            from ..system import BytesSink
+            s = BytesSink()
+            d.extract(f, s)
+            out[f.filename] = s.getvalue()
     return out

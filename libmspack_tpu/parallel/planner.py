@@ -100,8 +100,18 @@ def execute(plan: Plan, n_threads: int | None = None,
     so error semantics match the reference exactly. Decode failures are
     recorded in `errors` (same key -> exception) — partial folder bytes
     are still returned, like the reference's salvage discipline, but
-    never silently (mspack.h error contract)."""
+    never silently (mspack.h error contract).
+
+    engine="auto" routes by workload: the TPU path is chosen only
+    when the host calibration (utils.engine_calibration, measured by
+    tools/calibrate_engines.py) says it wins end-to-end at this
+    plan's total output size — chips behind a slow host link never
+    win, a fat PCIe host with a big batch does."""
     from .. import native
+
+    if engine == "auto":
+        from ..utils import choose_engine
+        engine = choose_engine(sum(j.out_len for j in plan.jobs))
 
     results: dict = {}
     mszip_jobs = [j for j in plan.jobs if j.comp_name == "mszip"]

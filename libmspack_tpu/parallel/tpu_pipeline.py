@@ -255,7 +255,8 @@ class TpuLzxEngine:
         self._decline_on_intel = False
 
     def decode_streams(self, streams, out_lens, window_bits,
-                       n_threads=None, decline_on_intel=False):
+                       n_threads=None, decline_on_intel=False,
+                       is_delta=False, refs=None):
         """streams: list of bytes; out_lens: decompressed sizes.
         Returns list of per-stream bytes, or None to fall back.
 
@@ -265,7 +266,15 @@ class TpuLzxEngine:
         stream-global in the reference (lzxd.c:707-713), so chunk-local
         E8 would diverge; we fall back to the sequential host engine
         instead (real-world chunked sections never use E8: the
-        reference's own ResetTable random access restarts that state)."""
+        reference's own ResetTable random access restarts that state).
+
+        is_delta/refs: LZX DELTA streams (OAB blocks) with per-stream
+        reference data preloaded at the window tail (lzxd.c:348-382).
+        DELTA batches decline on intel E8 (pre-started frames may
+        contain 0xE8 bytes from reference data, which the reference
+        leaves untransformed — the native engine replays that exactly)
+        and above the single-launch budget (no segmenting: every OAB
+        block is an independent stream)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -276,7 +285,14 @@ class TpuLzxEngine:
             return []
         if not native.available():
             return None
+        if is_delta and (window_bits > 18
+                         or max(out_lens) > LZX_TPU_MAX_CHUNK):
+            # DELTA windows up to 2^25 exist; the (NMAIN, 8, 128) key
+            # table outgrows VMEM past 2^18 — native handles those
+            return None
         self._decline_on_intel = decline_on_intel
+        self._is_delta = is_delta
+        self._refs = refs or [b""] * len(streams)
         outs = [None] * len(streams)
         order = list(range(len(streams)))
         # double-buffered pipeline over lane batches: JAX dispatch is
@@ -307,10 +323,13 @@ class TpuLzxEngine:
                                               n_threads):
                     return None
                 continue
+            batch_refs = ([self._refs[i] for i in idxs]
+                          if is_delta else None)
             inflight.append((batch_streams, batch_lens, idxs,
                              self._launch_batch(batch_streams,
                                                 batch_lens,
-                                                window_bits)))
+                                                window_bits,
+                                                refs=batch_refs)))
             if len(inflight) > 1 and not drain_one():
                 return None
         while inflight:
@@ -318,7 +337,7 @@ class TpuLzxEngine:
                 return None
         return outs
 
-    def _launch_batch(self, streams, sizes, window_bits):
+    def _launch_batch(self, streams, sizes, window_bits, refs=None):
         """Dispatch phase A for one batch (async; nothing blocks)."""
         from ..ops import pallas_lzx as plx
 
@@ -327,7 +346,10 @@ class TpuLzxEngine:
         # bucket to powers of two so batches share compiled kernels
         t_need = max(sizes) // 2 + 4096
         t_pad = max(4096, 1 << (t_need - 1).bit_length())
+        delta = getattr(self, "_is_delta", False)
+        hists = [len(r) for r in refs] if refs else None
         return plx.lzx_phase_a(streams, sizes, window_bits,
+                               hists=hists, is_delta=delta,
                                T_PAD=t_pad, interpret=self.interpret)
 
     def _finish_batch(self, streams, sizes, window_bits, idxs, outs,
@@ -347,8 +369,13 @@ class TpuLzxEngine:
         tstop = int(cnth[2, :n].max()) + 1
         iflags = [int(cnth[4, i]) for i in range(n)]
         ifszs = [int(cnth[5, i]) for i in range(n)]
-        if (getattr(self, "_decline_on_intel", False)
+        delta = getattr(self, "_is_delta", False)
+        if ((getattr(self, "_decline_on_intel", False) or delta)
                 and any(iflags) and any(ifszs)):
+            # DELTA: pre-started frames may hold 0xE8 bytes copied
+            # from reference data; the trace resolver's whole-stream
+            # E8 would transform them (the native engine replays the
+            # exact first-started frame instead)
             return False
         tokT = np.ascontiguousarray(
             np.asarray(jnp.transpose(tok[:tstop])), dtype=np.int32)[:n]
@@ -358,9 +385,19 @@ class TpuLzxEngine:
         for s in sizes:
             offs.append(offs[-1] + s)
         arena = np.empty(offs[-1], np.uint8)
+        hists = None
+        if delta:
+            # reference data preloads the window TAIL (lzxd.c:373-379)
+            wsize = 1 << window_bits
+            hists = np.zeros((n, wsize), np.uint8)
+            for j, i in enumerate(idxs):
+                ref = self._refs[i]
+                if ref:
+                    hists[j, wsize - len(ref):] = np.frombuffer(
+                        ref, np.uint8)
         r = native.lzx_resolve_traces(tokT, litT, sizes, iflags, ifszs,
                                       window_bits, arena, offs,
-                                      n_threads)
+                                      n_threads, hists=hists)
         if r != 0:
             return False
         for j, i in enumerate(idxs):
@@ -484,8 +521,6 @@ class TpuQtmEngine:
             return []
         if not native.available():
             return None
-        if max(out_lens) > LZX_TPU_MAX_CHUNK:
-            return None
         outs = [None] * len(streams)
         # double-buffered pipeline (see TpuLzxEngine.decode_streams)
         inflight = []
@@ -493,6 +528,23 @@ class TpuQtmEngine:
             idxs = list(range(b0, min(b0 + LANES, len(streams))))
             sts = [streams[i] for i in idxs]
             szs = [out_lens[i] for i in idxs]
+            if max(szs) > LZX_TPU_MAX_CHUNK:
+                # flush the pipeline, then decode this batch in
+                # segments with the kernel's model-state export
+                for a in inflight:
+                    if not self._finish_batch(a[0], a[1], window_bits,
+                                              a[2], outs, n_threads,
+                                              a[3]):
+                        return None
+                inflight = []
+                if self.interpret:
+                    # multi-launch interpret runs are pathologically
+                    # slow; CPU test runs take the host engine
+                    return None
+                if not self._decode_segmented(sts, szs, window_bits,
+                                              idxs, outs, n_threads):
+                    return None
+                continue
             inflight.append((sts, szs, idxs,
                              self._launch_batch(sts, szs, window_bits)))
             if len(inflight) > 1:
@@ -549,4 +601,81 @@ class TpuQtmEngine:
         for j, i in enumerate(idxs):
             outs[i] = arena[offs[j]:offs[j + 1]].tobytes()
         self.n_decoded += len(idxs)
+        return True
+
+    # segment output per launch: bounds the (step, lane) trace so a
+    # Quantum folder of any size decodes through the kernel. The coder
+    # re-inits at every 32 KiB frame (qtmd.c:430-442); the adaptive
+    # MODELS carry — the kernel exports the whole (NT+1, 65) model
+    # grid plus its bit cursor and pending-rescale flag per segment.
+    QTM_SEG = 32 * 1024
+
+    def _decode_segmented(self, streams, total_lens, window_bits,
+                          idxs, outs, n_threads):
+        """Multi-launch decode: every launch advances each unfinished
+        lane by <= QTM_SEG bytes (frame-aligned), carrying the model
+        grid between launches; window tails chain phase B across
+        segments (no E8 in Quantum)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .. import native
+        from ..ops import pallas_qtm as pq
+
+        n = len(streams)
+        wsize = 1 << window_bits
+        SEG = self.QTM_SEG
+        pos = [0] * n
+        parts = [bytearray() for _ in range(n)]
+        tails = np.zeros((n, wsize), np.uint8)
+        resume = None
+        rem = list(streams)
+        t_pad = SEG * 2 + 4096
+        while any(pos[i] < total_lens[i] for i in range(n)):
+            targets = [min(total_lens[i], pos[i] + SEG)
+                       for i in range(n)]
+            res = pq.qtm_phase_a(rem, targets, window_bits,
+                                 T_PAD=t_pad,
+                                 interpret=self.interpret,
+                                 resume=resume, return_state=True)
+            tok, litw, cnt, st = res
+            cnth = np.asarray(cnt)
+            active = [i for i in range(n) if pos[i] < total_lens[i]]
+            if any(cnth[0, i] != 0 for i in active):
+                return False
+            if any(cnth[1, i] != targets[i] for i in active):
+                return False
+            tstop = int(cnth[2, :n].max()) + 1
+            tokT = np.ascontiguousarray(
+                np.asarray(jnp.transpose(tok[:tstop])),
+                dtype=np.int32)[:n]
+            litT = np.ascontiguousarray(
+                np.asarray(jnp.transpose(litw[:tstop])),
+                dtype=np.int32)[:n]
+            seg_lens = [targets[i] - pos[i] for i in range(n)]
+            offs = [0]
+            for s in seg_lens:
+                offs.append(offs[-1] + s)
+            arena = np.empty(max(offs[-1], 1), np.uint8)
+            hists = (np.ascontiguousarray(tails)
+                     if resume is not None else None)
+            r = native.lzx_resolve_traces(
+                tokT, litT, seg_lens, [0] * n, [0] * n, window_bits,
+                arena, offs, n_threads, hists=hists)
+            if r != 0:
+                return False
+            for i in range(n):
+                if seg_lens[i] == 0:
+                    continue
+                seg = arena[offs[i]:offs[i + 1]]
+                parts[i].extend(seg)
+                joined = np.concatenate([tails[i], seg])
+                tails[i] = joined[-wsize:]
+                pos[i] = targets[i]
+            wposr = cnth[3, :n]
+            rem = [rem[i][4 * int(wposr[i]):] for i in range(n)]
+            resume = (cnth, np.asarray(st))
+        for j, i in enumerate(idxs):
+            outs[i] = bytes(parts[j])
+        self.n_decoded += n
         return True

@@ -17,6 +17,58 @@ def resolve_engine(engine: str) -> str:
     return "native" if native.available() else "scalar"
 
 
+_CAL = None
+
+
+def engine_calibration() -> dict:
+    """Measured per-engine throughput table for auto routing.
+
+    Produced by tools/calibrate_engines.py on the target host;
+    override with MSPACK_CALIBRATION=/path.json. Schema:
+      {"native_mb_s": float,          # end-to-end CAB decode, host
+       "tpu_mb_s_large": float|null,  # end-to-end at large batch
+       "tpu_crossover_bytes": int|null}  # workload size where the
+                                      # TPU path starts winning; null
+                                      # = it never does on this host
+                                      # (e.g. tunnel-attached chips)
+    """
+    global _CAL
+    if _CAL is None:
+        import json
+        import os
+        path = os.environ.get("MSPACK_CALIBRATION") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..",
+            "calibration.json")
+        try:
+            with open(path) as fh:
+                _CAL = json.load(fh)
+        except Exception:
+            _CAL = {}
+    return _CAL
+
+
+def choose_engine(workload_bytes: int) -> str:
+    """Workload-aware auto routing (planner scale).
+
+    Picks "tpu" only when a TPU backend is live AND the host's
+    calibration says the end-to-end TPU path wins at this workload
+    size (tpu_crossover_bytes). With no calibration, or below the
+    crossover, the native engine is the measured winner."""
+    from .. import native
+    base = "native" if native.available() else "scalar"
+    cal = engine_calibration()
+    cross = cal.get("tpu_crossover_bytes")
+    if cross is None or workload_bytes < cross or base == "scalar":
+        return base
+    try:
+        import jax
+        if jax.default_backend() != "tpu":
+            return base
+    except Exception:
+        return base
+    return "tpu"
+
+
 def bench_corpus(n_bytes: int) -> bytes:
     """Compressible corpus for the library-shipped kernel bench
     entries. Prefers real C source (MSPACK_BENCH_CORPUS env var, then

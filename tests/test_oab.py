@@ -67,3 +67,36 @@ def test_crc32_raw_matches_reference_table():
     # standard check value 0xCBF43926 is the *inverted* CRC; the raw
     # register value the OAB format stores is its complement
     assert crc32_raw(data) == 0xCBF43926 ^ 0xFFFFFFFF == 0x340BC6D9
+
+
+def test_oab_engine_tpu_parity():
+    """engine='tpu' routes blocks through the Pallas LZX lane kernel
+    with DELTA reference data preloaded at the window tail
+    (lzxd.c:348-382); bit-exact vs the oracle for both full (v3.1)
+    and incremental (v3.2) downloads (VERDICT r4 item 5)."""
+    from libmspack_tpu import native
+    if not native.available():
+        pytest.skip("native engine unavailable")
+
+    data = _data(70000, seed=3)
+    oab = oab_c.write_oab(data, compress=True)
+    err, ref_out = oracle.oab_decompress(oab)
+    assert err == 0 and ref_out == data
+    d = OabDecompressor(engine="tpu")
+    assert d.decompress_bytes(oab) == data
+    # the kernel path actually decoded (not a silent fallback)
+    assert getattr(d, "_tpu_lzx_engine", None) is not None
+    assert d._tpu_lzx_engine.n_decoded >= 1, \
+        getattr(d, "fallback_reasons", {})
+
+    base = _data(60000, seed=4)
+    target = _data(90000, seed=5)
+    patch = oab_c.write_oab_patch(target, base)
+    err, ref_out = oracle.oab_decompress_incremental(patch, base)
+    assert err == 0 and ref_out == target
+    d2 = OabDecompressor(engine="tpu")
+    before = 0
+    ours = d2.decompress_incremental_bytes(patch, base)
+    assert ours == target
+    assert d2._tpu_lzx_engine.n_decoded > before, \
+        getattr(d2, "fallback_reasons", {})

@@ -228,3 +228,70 @@ def test_multihost_two_process_dryrun():
              if k not in ("JAX_PLATFORMS", "XLA_FLAGS")})
     assert "bit-exact on both" in r.stdout, (r.stdout[-1000:],
                                              r.stderr[-1000:])
+
+
+def test_auto_engine_routing(tmp_path, monkeypatch):
+    """engine='auto' routes by measured calibration: below the
+    crossover (or with none) the native engine wins; at/above a
+    crossover that says the TPU path wins, auto picks it (VERDICT r4
+    item 9 — the crossover is measured by tools/calibrate_engines.py,
+    null on tunnel-attached hosts where upload bandwidth caps the
+    chip end-to-end)."""
+    import json
+
+    import libmspack_tpu.utils as U
+
+    def fresh(cal):
+        p = tmp_path / "cal.json"
+        p.write_text(json.dumps(cal))
+        monkeypatch.setenv("MSPACK_CALIBRATION", str(p))
+        U._CAL = None
+
+    try:
+        # no crossover -> native regardless of size
+        fresh({"native_mb_s": 1000.0, "tpu_mb_s_large": 30.0,
+               "tpu_crossover_bytes": None})
+        assert U.choose_engine(1 << 30) in ("native", "scalar")
+        # crossover at 1 MiB: small workload native, large tpu
+        # (backend on the CPU test host is not tpu -> still native;
+        # emulate the backend check via a fake jax answer)
+        fresh({"native_mb_s": 1000.0, "tpu_mb_s_large": 4000.0,
+               "tpu_crossover_bytes": 1 << 20})
+        assert U.choose_engine(1 << 10) in ("native", "scalar")
+        import jax
+        if jax.default_backend() == "tpu":
+            assert U.choose_engine(1 << 30) == "tpu"
+        else:
+            # CPU test host: the backend gate must keep it native
+            assert U.choose_engine(1 << 30) in ("native", "scalar")
+            monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+            assert U.choose_engine(1 << 30) == "tpu"
+    finally:
+        U._CAL = None
+
+
+def test_qtm_streams_sharded_matches_host():
+    """Quantum folders dp-sharded onto the lane kernel over the
+    virtual mesh, bit-exact vs the authored data."""
+    import random
+
+    from libmspack_tpu import native
+    from libmspack_tpu.parallel import mesh as pmesh
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    rng = random.Random(5)
+    words = [bytes(rng.choices(b"quantum adaptive model ",
+                               k=rng.randint(3, 9))) for _ in range(40)]
+    # interpreter-mode kernel steps cost ~10 ms each on the virtual
+    # mesh: keep streams tiny (the chip check in bench.py runs big)
+    datas = [b"".join(rng.choice(words) for _ in range(300))[:2200]
+             for _ in range(4)]
+    streams = []
+    for d in datas:
+        frames = native.qtm_encode(d, 15)
+        streams.append(b"".join(p + b"\xff" for p in frames))
+    m = pmesh.default_mesh(2)
+    outs = pmesh.decode_qtm_streams_sharded(
+        m, streams, [len(d) for d in datas], 15)
+    assert outs is not None
+    assert all(o == d for o, d in zip(outs, datas))
