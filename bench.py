@@ -223,6 +223,50 @@ def bench_kernels_inline(extra):
         print(f"# kernel evidence failed: {exc}", file=sys.stderr)
 
 
+def bench_mesh_compiled(extra):
+    """Compiled-mode mesh evidence (VERDICT r4 item 6): the ppermute
+    ring and the dp-sharded LZX lanes run COMPILED on the real chip at
+    ndev=1 (self-edge ppermute, Mosaic kernels inside shard_map) —
+    lowering classes the interpreted virtual mesh cannot catch."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return
+    try:
+        import zlib
+
+        from libmspack_tpu import native
+        from libmspack_tpu.parallel import mesh as pmesh
+        from libmspack_tpu.utils import bench_corpus
+
+        m = pmesh.default_mesh(1)
+        data = bench_corpus(8 * 32768)
+        frames, sizes = [], []
+        for i in range(8):
+            raw = data[i * 32768:(i + 1) * 32768]
+            co = zlib.compressobj(
+                6, zlib.DEFLATED, -15,
+                zdict=data[(i - 1) * 32768:i * 32768] if i else b"")
+            frames.append(co.compress(raw) + co.flush())
+            sizes.append(len(raw))
+        blob = pmesh.decode_frames_ring(m, frames, sizes)
+        ring_ok = blob == data
+        datas = [bench_corpus(64 * 1024)[i * 7919:i * 7919 + 60000]
+                 for i in range(4)]
+        streams = [native.lzx_encode(d, 16, 0)[0] for d in datas]
+        outs = pmesh.decode_lzx_streams_sharded(
+            m, streams, [len(d) for d in datas], 16)
+        lanes_ok = (outs is not None
+                    and all(o == d for o, d in zip(outs, datas)))
+        extra["mesh_compiled_1dev"] = {
+            "ring_bit_exact": bool(ring_ok),
+            "lzx_lanes_bit_exact": bool(lanes_ok)}
+        print(f"# mesh compiled 1-dev: ring={ring_ok} "
+              f"lzx_lanes={lanes_ok}", file=sys.stderr)
+    except Exception as exc:
+        print(f"# mesh compiled evidence failed: {exc}",
+              file=sys.stderr)
+
+
 def main():
     extra = {}
     headline = None
@@ -278,6 +322,7 @@ def main():
               f"threads)", file=sys.stderr)
 
     bench_kernels_inline(extra)
+    bench_mesh_compiled(extra)
 
     print(json.dumps({
         "metric": "mszip_decompress",

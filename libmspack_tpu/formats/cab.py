@@ -867,12 +867,7 @@ class CabDecompressor:
             except Exception:
                 out = None
         if out is None and self.engine == "jax":
-            # fully-fused single-call pipeline first; the chunked v1
-            # handles what it can't (multi-block frames, stored blocks)
-            from ..ops.inflate_fused import inflate_folder_fused
-            out = inflate_folder_fused(streams, sizes)
-            if out is None:
-                out = inflate_folder(streams, sizes)
+            out = inflate_folder(streams, sizes)
         if out is None:
             return None
         self._folder_cache = (fol, out)
