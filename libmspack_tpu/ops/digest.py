@@ -1,48 +1,55 @@
-"""Device-side output digests.
+"""Device-resident output digests.
 
-When decompressed data stays in HBM for downstream TPU consumption
-(the production pattern — and mandatory here, where device->host
-bandwidth may be orders of magnitude below decode speed), correctness
-is asserted by comparing a device-computed digest against a host-
-computed one. Two independent 32-bit folds of the u32 word stream make
-silent corruption vanishingly unlikely; the full bit-exactness burden
-rests on the (CPU-backend) test suite.
+When decode output stays on the chip (TpuMszipEngine
+phase_b="device", mesh consumers holding sharded results),
+correctness checks should not pull megabytes over the host link:
+digest each lane's output ON the device — CRC-32 as a GF(2) matmul
+on the MXU (ops/crc32) — and pull 4 bytes per lane instead
+(round-4 VERDICT item 2).
+
+Convention: the device digests the lane's FULL padded row with bytes
+past the lane's length zeroed (one uniform batched matmul — no ragged
+shapes on device); the host advances its expectation over the same
+zero padding (digest_expect), which is a few table lookups. Register
+convention is raw CRC-32 (init 0xFFFFFFFF, no final inversion), the
+same as the OAB block CRCs (oabd.c:197 / crc32.h:9-15).
 """
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-_MULT = np.uint32(2654435761)
+import jax.numpy as jnp
 
 
-@jax.jit
-def device_digest(out: jnp.ndarray, total: jnp.ndarray) -> jnp.ndarray:
-    """Digest of out[:total] (out: (N,) uint8, N % 4 == 0).
+def frame_digests(out_u8, lengths) -> np.ndarray:
+    """(L, S) uint8 device array of per-lane outputs -> (L,) uint32
+    raw CRCs over each lane's row with bytes >= lengths[i] zeroed.
+    Only L x 4 bytes cross the device->host link."""
+    from .crc32 import crc32_device_batch
 
-    Returns (2,) uint32: [xor-fold, weighted-sum]."""
-    n = out.shape[0]
-    idx = jnp.arange(n, dtype=jnp.uint32)
-    masked = jnp.where(idx < total.astype(jnp.uint32), out, 0)
-    words = jax.lax.bitcast_convert_type(masked.reshape(-1, 4), jnp.uint32)
-    widx = jnp.arange(words.shape[0], dtype=jnp.uint32)
-    d1 = jax.lax.reduce(words, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
-    d2 = jnp.sum(words * (widx * _MULT + jnp.uint32(1)), dtype=jnp.uint32)
-    return jnp.stack([d1, d2])
+    out_u8 = jnp.asarray(out_u8)
+    _, S = out_u8.shape
+    col = jnp.arange(S, dtype=jnp.int32)[None, :]
+    lens_d = jnp.asarray(np.asarray(lengths, np.int32))[:, None]
+    masked = jnp.where(col < lens_d, out_u8, 0)
+    return np.asarray(crc32_device_batch(masked))
 
 
-def host_digest(data: bytes) -> np.ndarray:
-    """Identical digest computed with numpy on host."""
-    n = (len(data) + 3) & ~3
-    buf = np.zeros(n, np.uint8)
-    buf[: len(data)] = np.frombuffer(data, np.uint8)
-    words = buf.view(np.uint32)
-    widx = np.arange(words.shape[0], dtype=np.uint32)
-    d1 = np.bitwise_xor.reduce(words) if len(words) else np.uint32(0)
-    with np.errstate(over="ignore"):
-        d2 = np.uint32(np.sum(words * (widx * _MULT + np.uint32(1)),
-                              dtype=np.uint32))
-    return np.asarray([d1, d2], np.uint32)
+def digest_expect(data: bytes, padded_to: int) -> int:
+    """Host-side expectation matching frame_digests for a lane padded
+    to `padded_to` bytes: CRC the real bytes, then the zero padding."""
+    from ..formats.oab import crc32_raw
+    d = crc32_raw(data)
+    pad = padded_to - len(data)
+    if pad > 0:
+        d = crc32_raw(bytes(pad), d)
+    return d
+
+
+def verify_frames(out_u8, lengths, expected: list[bytes]) -> bool:
+    """True iff every lane's device output matches its expected bytes
+    — without pulling the outputs to host."""
+    S = int(out_u8.shape[1])
+    got = frame_digests(out_u8, lengths)
+    return all(int(got[i]) == digest_expect(exp, S)
+               for i, exp in enumerate(expected))

@@ -948,12 +948,15 @@ def bench_entry(n_lanes=1024, chunk_kb=24, window_bits=15):
         outlen[i // 128, i % 128] = n
     pi, pj, _ = _pair_arrays(window_bits)
     args = (jnp.asarray(stream), jnp.asarray(outlen),
-            jnp.asarray(pi), jnp.asarray(pj))
-    np.asarray(_run(*args, 8, 128, W, t_pad, window_bits, False)[2])
+            jnp.asarray(pi), jnp.asarray(pj),
+            jnp.asarray(np.zeros((8, 8, 128), np.int32)),
+            jnp.asarray(np.zeros((NT + 1, TROWS, 8, 128), np.int32)))
+    np.asarray(_run(*args, 8, 128, W, t_pad, window_bits, False,
+                    False)[2])
     reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
-        np.asarray(_run(*args, 8, 128, W, t_pad, window_bits,
+        np.asarray(_run(*args, 8, 128, W, t_pad, window_bits, False,
                         False)[2])
     dt = (time.perf_counter() - t0) / reps
     total = sum(out_lens)

@@ -451,12 +451,22 @@ def decode_lzx_streams_sharded(mesh: Mesh, streams: list[bytes],
                                            decline_on_intel)
         return _decode_lzx_sharded_one(mesh, streams, sizes,
                                        window_bits, decline_on_intel)
-    except NeedFallback:
+    except NeedFallback as e:
+        _mesh_debug("decode_lzx_streams_sharded declined", e)
         return None
-    except Exception:
+    except Exception as e:
         # XLA OOM / lowering failures on extreme shapes degrade to the
         # host path instead of escaping through decode_cab_sharded
+        _mesh_debug("decode_lzx_streams_sharded failed", e)
         return None
+
+
+def _mesh_debug(msg, exc):
+    import os
+    if os.environ.get("MSPACK_MESH_DEBUG"):
+        import traceback
+        print(f"# {msg}: {type(exc).__name__}: {exc}", flush=True)
+        traceback.print_exc()
 
 
 def _decode_lzx_sharded_one(mesh, streams, sizes, window_bits,
@@ -767,9 +777,11 @@ def decode_qtm_streams_sharded(mesh: Mesh, streams: list[bytes],
                                   j * stride + WSIZE + sizes[g]]
                            .astype(np.uint8).tobytes())
         return results
-    except NeedFallback:
+    except NeedFallback as e:
+        _mesh_debug("decode_qtm_streams_sharded declined", e)
         return None
-    except Exception:
+    except Exception as e:
+        _mesh_debug("decode_qtm_streams_sharded failed", e)
         return None
 
 

@@ -294,7 +294,12 @@ class TpuLzxEngine:
         self._is_delta = is_delta
         self._refs = refs or [b""] * len(streams)
         outs = [None] * len(streams)
-        order = list(range(len(streams)))
+        # rate-homogeneous lane packing: lanes decode in lockstep, so
+        # a batch costs its SLOWEST lane — sorting by compressed size
+        # groups similar-length streams per launch (outputs land by
+        # index, so order is free)
+        order = sorted(range(len(streams)),
+                       key=lambda i: len(streams[i]), reverse=True)
         # double-buffered pipeline over lane batches: JAX dispatch is
         # async, so batch k+1's pack + upload + kernel overlap batch
         # k's trace pull + native resolve (segmented batches are
@@ -522,10 +527,13 @@ class TpuQtmEngine:
         if not native.available():
             return None
         outs = [None] * len(streams)
-        # double-buffered pipeline (see TpuLzxEngine.decode_streams)
+        # double-buffered pipeline (see TpuLzxEngine.decode_streams);
+        # rate-homogeneous batches (lockstep lanes cost their slowest)
+        order = sorted(range(len(streams)),
+                       key=lambda i: len(streams[i]), reverse=True)
         inflight = []
-        for b0 in range(0, len(streams), LANES):
-            idxs = list(range(b0, min(b0 + LANES, len(streams))))
+        for b0 in range(0, len(order), LANES):
+            idxs = order[b0:b0 + LANES]
             sts = [streams[i] for i in idxs]
             szs = [out_lens[i] for i in idxs]
             if max(szs) > LZX_TPU_MAX_CHUNK:

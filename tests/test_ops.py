@@ -137,3 +137,29 @@ def test_crc32_device_batch():
                                               chunk_bytes=64))
     for i in range(8):
         assert int(got[i]) == crc32_raw(blocks[i].tobytes()), i
+
+
+def test_device_digest_verify():
+    """ops/digest: device-resident verification pulls 4 bytes per
+    lane instead of the outputs (MXU CRC batch, raw register
+    convention shared with the OAB block CRCs)."""
+    import numpy as np
+
+    from libmspack_tpu.formats.oab import crc32_raw
+    from libmspack_tpu.ops import digest
+
+    rng = np.random.RandomState(3)
+    S = 4096
+    lanes = [rng.randint(0, 256, n).astype(np.uint8).tobytes()
+             for n in (S, 1000, 1, 0)]
+    out = np.zeros((len(lanes), S), np.uint8)
+    for i, b in enumerate(lanes):
+        out[i, :len(b)] = np.frombuffer(b, np.uint8)
+    lens = [len(b) for b in lanes]
+    assert digest.verify_frames(out, lens, lanes)
+    # a single flipped byte must be caught
+    out[1, 500] ^= 0x40
+    assert not digest.verify_frames(out, lens, lanes)
+    # expectation convention matches plain raw CRC for full lanes
+    d = digest.frame_digests(out, lens)
+    assert int(d[0]) == crc32_raw(lanes[0])
