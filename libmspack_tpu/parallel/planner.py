@@ -89,6 +89,56 @@ def plan_archives(paths: List[PathOrBytes]) -> Plan:
     return Plan(paths, cabinets, jobs, fallback)
 
 
+def _native_archive_pipelines(plan: Plan, results: dict,
+                              n_threads) -> None:
+    """Whole-cabinet native fast path: one C call per archive does the
+    CFDATA walk + checksums + all folder decodes against the mapped
+    image — no per-folder Python copies (the same path bench.py
+    measures at ~1.2 GB/s on this host; the per-job route below costs
+    ~2x in slicing). Archives it declines fall through untouched."""
+    import numpy as np
+
+    from .. import native
+    if not native.available():
+        return
+    from ..formats.cab import BLOCKMAX, COMPTYPE_MASK, INPUTMAX
+
+    for ai, cab in enumerate(plan.cabinets):
+        jobs = [j for j in plan.jobs if j.archive_idx == ai]
+        if not jobs or any((ai, fi) in plan.fallback
+                           for fi in range(len(cab.folders))):
+            continue
+        if any(len(fol.data) != 1 or fol.merge_prev or fol.merge_next
+               for fol in cab.folders):
+            continue
+        if any((fol.comp_type & COMPTYPE_MASK) > 3
+               for fol in cab.folders):
+            continue
+        try:
+            src = plan.archives[ai]
+            if isinstance(src, (bytes, bytearray)):
+                img = np.frombuffer(src, np.uint8)
+            else:
+                img = np.memmap(src, dtype=np.uint8, mode="r")
+            nblocks = sum(f.num_blocks for f in cab.folders)
+            out = np.empty(max(nblocks * BLOCKMAX, 1), np.uint8)
+            stage = None
+            if any((f.comp_type & COMPTYPE_MASK) in (2, 3)
+                   for f in cab.folders):
+                stage = np.empty(nblocks * (INPUTMAX + 1), np.uint8)
+            offs = native.cab_pipeline(
+                img, [fol.data[0].offset for fol in cab.folders],
+                [fol.num_blocks for fol in cab.folders],
+                [fol.comp_type for fol in cab.folders],
+                cab.block_resv, out, stage, n_threads=n_threads)
+            if offs is None:
+                continue
+            for fi in range(len(cab.folders)):
+                results[(ai, fi)] = out[offs[fi]:offs[fi + 1]]
+        except Exception:
+            continue
+
+
 def execute(plan: Plan, n_threads: int | None = None,
             errors: dict | None = None, engine: str = "native") -> dict:
     """Run all jobs; returns {(archive_idx, folder_idx): folder_bytes}.
@@ -114,7 +164,10 @@ def execute(plan: Plan, n_threads: int | None = None,
         engine = choose_engine(sum(j.out_len for j in plan.jobs))
 
     results: dict = {}
-    mszip_jobs = [j for j in plan.jobs if j.comp_name == "mszip"]
+    if engine == "native":
+        _native_archive_pipelines(plan, results, n_threads)
+    mszip_jobs = [j for j in plan.jobs if j.comp_name == "mszip"
+                  and (j.archive_idx, j.folder_idx) not in results]
     if mszip_jobs and engine == "tpu":
         import jax
         from .tpu_pipeline import TpuMszipEngine
